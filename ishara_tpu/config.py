@@ -1,0 +1,139 @@
+"""Typed configuration for Ishara-TPU — replaces the reference's scattered
+notebook constants and ``get_model`` kwargs (SURVEY.md §5 'Config / flag
+system') with dataclasses that round-trip to JSON.
+
+The five BASELINE.json configs are provided as named presets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+
+@dataclass
+class EncoderConfig:
+    """Architecture config. ``variant`` selects the reference model family:
+
+    * ``squeezeformer`` — N SqueezeformerBlocks (conv-squeezeformer nbs)
+    * ``conformer`` — N ConformerBlocks (conv-conformer-test-2-d67a5e)
+    * ``hybrid`` — N Squeezeformer then M Conformer blocks (canonical
+      conv-squeezeformer-conformer-test, the 0.728 family)
+    * ``conv_hybrid`` — (Conv1DBlock*k -> Squeezeformer)*N then
+      (Conv1DBlock*k -> Conformer)*M (conv-hybrid-model, the README API)
+    * ``conv_transformer`` — (Conv1DBlock*k -> TransformerBlock)*N
+      (conv-conformer.ipynb 1st-place style)
+    """
+
+    dim: int = 256
+    variant: str = "hybrid"
+    num_squeeze_blocks: int = 4
+    num_conform_blocks: int = 4
+    num_heads: int = 8
+    expansion_factor: int = 2
+    transformer_kernel_size: int = 15
+    kernel_sizes: tuple[int, ...] = (11, 5, 3)
+    num_conv_per_block: int = 3
+    dropout: float = 0.4
+    top_dropout: float = 0.4
+    top_mult: int = 1          # top Dense width = dim * top_mult
+    frame_len: int = 176
+    input_dim: int = 276
+    num_classes: int = 60
+    blank_id: int = 59
+    dtype: str = "float32"     # computation dtype; params stay float32
+
+
+@dataclass
+class TrainConfig:
+    """Optimizer/schedule config (reference nb cells 10-11 + integration.py)."""
+
+    batch_size: int = 64
+    num_epochs: int = 50
+    warmup_epochs: int = 5
+    lr_max: float = 4e-3
+    wd_ratio: float = 0.05           # weight decay = lr * wd_ratio per epoch
+    optimizer: str = "radam_lookahead"  # or "adamw"
+    lookahead_sync_period: int = 5
+    radam_sma_threshold: float = 4.0
+    grad_clip_norm: float = 1.0
+    aug_prob: float = 0.2
+    seed: int = 42
+    steps_per_epoch: int = 1000      # set from dataset at runtime
+    checkpoint_every_epochs: int = 40
+    validate_every_epochs: int = 5
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh layout for pjit. v0 is 1-D data parallel over ICI."""
+
+    data_axis: str = "data"
+    num_devices: int = -1  # -1 = all visible devices
+
+
+@dataclass
+class IsharaConfig:
+    model: EncoderConfig = field(default_factory=EncoderConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def to_json(self, path: str | Path | None = None) -> str:
+        s = json.dumps(dataclasses.asdict(self), indent=2)
+        if path is not None:
+            Path(path).write_text(s)
+        return s
+
+    @classmethod
+    def from_json(cls, source: str | Path) -> "IsharaConfig":
+        text = Path(source).read_text() if Path(str(source)).exists() else str(source)
+        raw = json.loads(text)
+        model = EncoderConfig(**{**raw.get("model", {}),
+                                 "kernel_sizes": tuple(raw.get("model", {}).get("kernel_sizes", (11, 5, 3)))})
+        return cls(
+            model=model,
+            train=TrainConfig(**raw.get("train", {})),
+            mesh=MeshConfig(**raw.get("mesh", {})),
+        )
+
+
+# ---------------------------------------------------------------------------
+# The five BASELINE.json configs (PROGRESS.jsonl / SURVEY.md §6).
+# ---------------------------------------------------------------------------
+
+def baseline_config(index: int) -> IsharaConfig:
+    """1: tiny squeezeformer CTC smoke; 2: squeezeformer mini-shard training;
+    3: hybrid 2+2 full training; 4: beam decode + eval; 5: batch-1 serving."""
+    cfgs = {
+        1: IsharaConfig(
+            model=EncoderConfig(variant="squeezeformer", dim=256,
+                                num_squeeze_blocks=2, num_conform_blocks=0,
+                                num_heads=4, transformer_kernel_size=15,
+                                dropout=0.1, top_mult=2),
+        ),
+        2: IsharaConfig(
+            model=EncoderConfig(variant="squeezeformer", dim=256,
+                                num_squeeze_blocks=8, num_conform_blocks=0,
+                                num_heads=4, transformer_kernel_size=15,
+                                dropout=0.1, top_mult=2),
+        ),
+        3: IsharaConfig(
+            model=EncoderConfig(variant="conv_hybrid", dim=256,
+                                num_squeeze_blocks=2, num_conform_blocks=2,
+                                kernel_sizes=(11, 5, 3), num_conv_per_block=3,
+                                dropout=0.2, top_mult=2),
+        ),
+        4: IsharaConfig(
+            model=EncoderConfig(variant="hybrid", dim=256,
+                                num_squeeze_blocks=4, num_conform_blocks=4,
+                                dropout=0.4, top_mult=1),
+        ),
+        5: IsharaConfig(
+            model=EncoderConfig(variant="hybrid", dim=256,
+                                num_squeeze_blocks=4, num_conform_blocks=4,
+                                dropout=0.4, top_mult=1, dtype="bfloat16"),
+        ),
+    }
+    return cfgs[index]

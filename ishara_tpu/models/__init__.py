@@ -1,0 +1,25 @@
+from .blocks import Conv1DBlock, ConformerBlock, SqueezeformerBlock, TransformerBlock
+from .encoder import IsharaEncoder, get_model
+from .layers import (
+    CausalDWConv1D,
+    ECA,
+    FeedForwardModule,
+    MultiHeadSelfAttention,
+    SqueezeExcite,
+    positional_encoding,
+)
+
+__all__ = [
+    "Conv1DBlock",
+    "ConformerBlock",
+    "SqueezeformerBlock",
+    "TransformerBlock",
+    "IsharaEncoder",
+    "get_model",
+    "CausalDWConv1D",
+    "ECA",
+    "FeedForwardModule",
+    "MultiHeadSelfAttention",
+    "SqueezeExcite",
+    "positional_encoding",
+]

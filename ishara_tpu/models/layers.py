@@ -1,0 +1,220 @@
+"""Core layers for the Ishara-TPU encoder zoo (flax.linen).
+
+Behavioral contracts follow the reference Keras layers
+(``Test Notebooks/conv-squeezeformer-conformer-test.ipynb`` cell 5), including
+its quirks where they affect trained-weight parity:
+
+* ``MultiHeadSelfAttention`` scales scores by ``dim**-0.5`` (the *full* model
+  dim, not head_dim — reference quirk, kept).
+* The Conformer ``ConvolutionModule`` uses a 'same'-padded depthwise conv with
+  no activation after BatchNorm and a *post*-LayerNorm residual (reference
+  quirk, kept). The Squeezeformer ``ConvModule`` is causal with swish.
+* Keras ``Masking(0.0)`` semantics: padding mask feeds attention softmax and
+  the masked global-average-pools in ECA/SqueezeExcite; BatchNorm and convs
+  ignore it (as Keras does).
+
+Everything is statically shaped and jit/pjit-friendly; batch statistics in
+BatchNorm reduce over the global (sharded) batch under GSPMD, matching the
+reference's cross-replica TPUStrategy behavior without explicit collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# Keras parity epsilons.
+LN_EPS = 1e-6
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.95
+
+
+def positional_encoding(maxlen: int, dim: int) -> np.ndarray:
+    """Fixed sin/cos encoding, concat layout [sin | cos] (reference cell 5)."""
+    depth = dim / 2
+    positions = np.arange(maxlen, dtype=np.float32)[:, None]
+    depths = np.arange(depth, dtype=np.float32)[None, :] / depth
+    angle_rates = 1.0 / np.power(10000.0, depths).astype(np.float32)
+    angle_rads = positions * angle_rates
+    return np.concatenate([np.sin(angle_rads), np.cos(angle_rads)], axis=-1)
+
+
+def masked_global_average_pool(x: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarray:
+    """[B, T, C] -> [B, C] mean over valid frames (Keras GAP-with-mask)."""
+    if mask is None:
+        return jnp.mean(x, axis=1)
+    m = mask[..., None].astype(x.dtype)
+    denom = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    return jnp.sum(x * m, axis=1) / denom
+
+
+class ECA(nn.Module):
+    """Efficient channel attention: GAP -> Conv1D(1, k) over channels -> gate."""
+
+    kernel_size: int = 5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        g = masked_global_average_pool(x, mask)          # [B, C]
+        g = g[..., None]                                 # [B, C, 1]
+        g = nn.Conv(
+            1, (self.kernel_size,), padding="SAME", use_bias=False,
+            dtype=self.dtype, name="conv",
+        )(g)                                             # [B, C, 1]
+        g = nn.sigmoid(g[..., 0])                        # [B, C]
+        return x * g[:, None, :]
+
+
+class SqueezeExcite(nn.Module):
+    """SE gate: masked GAP -> Dense(C/r, swish) -> Dense(C, sigmoid)."""
+
+    channels: int
+    reduction_ratio: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        g = masked_global_average_pool(x, mask)
+        g = nn.Dense(max(1, self.channels // self.reduction_ratio),
+                     dtype=self.dtype, name="fc1")(g)
+        g = nn.swish(g)
+        g = nn.Dense(self.channels, dtype=self.dtype, name="fc2")(g)
+        g = nn.sigmoid(g)
+        return x * g[:, None, :]
+
+
+class CausalDWConv1D(nn.Module):
+    """Left-padded depthwise conv: pad (k-1)*dilation then VALID conv."""
+
+    kernel_size: int = 17
+    dilation_rate: int = 1
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.dilation_rate * (self.kernel_size - 1)
+        C = x.shape[-1]
+        return nn.Conv(
+            C, (self.kernel_size,),
+            padding=[(pad, 0)],
+            kernel_dilation=(self.dilation_rate,),
+            feature_group_count=C,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="dwconv",
+        )(x)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Fused-QKV attention with padding mask.
+
+    Score scale is ``dim**-0.5`` over the full model dim — a reference quirk
+    (nb cell 5 ``MultiHeadSelfAttention.scale``) kept for weight parity.
+    """
+
+    dim: int = 256
+    num_heads: int = 4
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        B, T, _ = x.shape
+        H = self.num_heads
+        Dh = self.dim // H
+        qkv = nn.Dense(3 * self.dim, use_bias=False, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, T, H, 3 * Dh).transpose(0, 2, 1, 3)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (self.dim ** -0.5)
+        if mask is not None:
+            attn = jnp.where(mask[:, None, None, :], attn, jnp.finfo(attn.dtype).min)
+        attn = nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, self.dim)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="proj")(out)
+
+
+class RowDropout(nn.Module):
+    """Keras ``Dropout(noise_shape=(None, 1, 1))``: drops whole samples."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        return nn.Dropout(
+            self.rate, broadcast_dims=(1, 2)
+        )(x, deterministic=deterministic)
+
+
+class FeedForwardModule(nn.Module):
+    """Dense(dim*exp, swish) -> Dropout -> Dense(dim)."""
+
+    dim: int
+    expansion_factor: int = 4
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.dim * self.expansion_factor, dtype=self.dtype, name="fc1")(x)
+        x = nn.swish(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+
+
+class SqueezeformerConvModule(nn.Module):
+    """LN -> pw Dense(dim*exp) swish -> causal DW conv swish -> pw Dense(dim)
+    -> SE -> +residual (reference ``ConvModule``, nb cell 5)."""
+
+    dim: int
+    kernel_size: int
+    expansion_factor: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        res = x
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
+        x = nn.Conv(self.dim * self.expansion_factor, (1,), dtype=self.dtype,
+                    name="pw1")(x)
+        x = nn.swish(x)
+        x = CausalDWConv1D(self.kernel_size, dtype=self.dtype, name="dw")(x)
+        x = nn.swish(x)
+        x = nn.Conv(self.dim, (1,), dtype=self.dtype, name="pw2")(x)
+        x = SqueezeExcite(self.dim, dtype=self.dtype, name="se")(x, mask=mask)
+        return x + res
+
+
+class ConformerConvModule(nn.Module):
+    """pw Conv(2*dim) -> GLU -> 'same' DW conv -> BN -> pw Conv(dim)
+    -> LN(x + residual)  (reference Keras ``ConvolutionModule``; note: no
+    activation after BN, post-norm residual)."""
+
+    dim: int
+    kernel_size: int = 31
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        res = x
+        x = nn.Conv(self.dim * 2, (1,), dtype=self.dtype, name="pw1")(x)
+        a, b = jnp.split(x, 2, axis=-1)
+        x = a * nn.sigmoid(b)
+        x = nn.Conv(
+            self.dim, (self.kernel_size,), padding="SAME",
+            feature_group_count=self.dim, dtype=self.dtype, name="dw",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not training, momentum=BN_MOMENTUM,
+            epsilon=BN_EPS, dtype=self.dtype, name="bn",
+        )(x)
+        x = nn.Conv(self.dim, (1,), dtype=self.dtype, name="pw2")(x)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln")(x + res)

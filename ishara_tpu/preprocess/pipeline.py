@@ -1,0 +1,210 @@
+"""Jittable landmark preprocessing pipeline.
+
+Re-implements the behavioral contract of the reference's TF preprocessing
+(``Test Notebooks/conv-squeezeformer-conformer-test.ipynb`` cell 3:
+``resize_pad`` / ``pre_process0`` / ``pre_process00`` / ``pre_process1``) as a
+TPU-first design: every function is statically shaped and jittable, with the
+dynamic sequence length carried as a traced scalar instead of a dynamic tensor
+shape. Raw sequences are padded on the host to a static ``max_frames`` and the
+whole select → thin → resample/pad → normalize → flatten chain runs as one XLA
+program (fusable into the serving executable).
+
+Data layout: raw input is ``[T, 276]`` (x/y/z blocks of 92 landmarks, see
+``ishara_tpu.data.landmarks``); model input is ``[FRAME_LEN, 276]`` ordered
+lip(40) | rhand(21) | lhand(21) | rpose(5) | lpose(5), each as x,y,z triples.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import landmarks as lm
+
+
+class GroupStats(NamedTuple):
+    """Per-group normalization statistics, broadcastable against [T, n, 3]."""
+
+    mean: dict[str, jnp.ndarray]
+    std: dict[str, jnp.ndarray]
+
+    @staticmethod
+    def identity() -> "GroupStats":
+        return GroupStats(
+            mean={g: jnp.zeros((1, 1, 3), jnp.float32) for g in lm.GROUPS},
+            std={g: jnp.ones((1, 1, 3), jnp.float32) for g in lm.GROUPS},
+        )
+
+
+def split_groups(x: jnp.ndarray) -> dict[str, jnp.ndarray]:
+    """[T, 276] flat frame -> dict of [T, n_g, 3] group tensors.
+
+    One gather per group using the precomputed [n, 3] column-index tables
+    (equivalent to the reference's 15 separate tf.gather calls in
+    ``pre_process0``).
+    """
+    return {g: jnp.take(x, lm.GROUP_IDX[g], axis=1) for g in lm.GROUPS}
+
+
+def merge_groups(groups: dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Concat groups along the landmark axis and flatten to [T, 276]."""
+    x = jnp.concatenate([groups[g] for g in lm.CONCAT_ORDER], axis=1)
+    return x.reshape(x.shape[0], -1)
+
+
+def resample_or_pad(x: jnp.ndarray, length: jnp.ndarray, frame_len: int) -> jnp.ndarray:
+    """Fixed-shape equivalent of the reference's ``resize_pad``.
+
+    ``x`` is [Tmax, ...] with valid data in rows [0, length); output is
+    [frame_len, ...]. Sequences shorter than ``frame_len`` are NaN-padded at
+    the end; longer ones are bilinearly resampled along time with TF2
+    half-pixel-center semantics (``tf.image.resize``).
+
+    Statically shaped: both branches are computed and selected per-row, which
+    XLA fuses into one gather + lerp.
+    """
+    length = jnp.asarray(length, jnp.float32)
+    i = jnp.arange(frame_len, dtype=jnp.float32)
+
+    # Resample branch (length > frame_len): half-pixel-center bilinear.
+    src = (i + 0.5) * (length / frame_len) - 0.5
+    src = jnp.clip(src, 0.0, jnp.maximum(length - 1.0, 0.0))
+    lo = jnp.floor(src)
+    w = (src - lo)[(...,) + (None,) * (x.ndim - 1)]
+    lo_i = lo.astype(jnp.int32)
+    hi_i = jnp.minimum(lo_i + 1, jnp.maximum(length.astype(jnp.int32) - 1, 0))
+    resized = x[lo_i] * (1.0 - w) + x[hi_i] * w
+
+    # Pad branch (length <= frame_len): copy then NaN-fill the tail.
+    idx = jnp.minimum(jnp.arange(frame_len), x.shape[0] - 1)
+    copied = x[idx]
+    row_valid = (jnp.arange(frame_len, dtype=jnp.float32) < length)[
+        (...,) + (None,) * (x.ndim - 1)
+    ]
+    padded = jnp.where(row_valid, copied, jnp.nan)
+
+    return jnp.where(length <= frame_len, padded, resized)
+
+
+def thin_frames(
+    x: jnp.ndarray, length: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Inference-time frame thinning (reference ``pre_process00``).
+
+    Keeps frames that have hand signal (non-NaN, non-zero hand landmarks) OR
+    are at an even position, compacting the kept frames to the front. Returns
+    the compacted [Tmax, 276] array and the new valid length.
+
+    The reference's boolean-mask gather produces a dynamic shape; here the
+    compaction is a stable argsort on the drop flag, keeping the program
+    statically shaped.
+    """
+    T = x.shape[0]
+    valid = jnp.arange(T) < length
+
+    hands = jnp.concatenate(
+        [jnp.take(x, lm.GROUP_IDX["rhand"], axis=1),
+         jnp.take(x, lm.GROUP_IDX["lhand"], axis=1)],
+        axis=1,
+    )
+    hands = jnp.nan_to_num(hands, nan=0.0)
+    signal = jnp.sum(hands, axis=(1, 2)) != 0.0
+    alternating = (jnp.arange(T) % 2) == 0  # cumsum(ones) % 2 == 1 keeps even rows
+    keep = (signal | alternating) & valid
+
+    order = jnp.argsort(jnp.logical_not(keep), stable=True)
+    return x[order], jnp.sum(keep).astype(jnp.int32)
+
+
+def normalize_groups(
+    groups: dict[str, jnp.ndarray], stats: GroupStats
+) -> dict[str, jnp.ndarray]:
+    """Per-group (x - mean) / std (reference ``pre_process1``)."""
+    return {
+        g: (groups[g] - stats.mean[g]) / stats.std[g] for g in lm.GROUPS
+    }
+
+
+def preprocess(
+    x: jnp.ndarray,
+    length: jnp.ndarray,
+    stats: GroupStats,
+    frame_len: int = lm.FRAME_LEN,
+    thin: bool = False,
+) -> jnp.ndarray:
+    """Full preprocessing: [Tmax, 276] raw + valid length -> [frame_len, 276].
+
+    ``thin=True`` applies the inference-path frame thinning
+    (``pre_process00``); training uses ``thin=False`` (``pre_process0`` path,
+    augmentation handled separately in :mod:`ishara_tpu.preprocess.augment`).
+    """
+    if thin:
+        x, length = thin_frames(x, length)
+    groups = split_groups(x)
+    groups = {g: resample_or_pad(v, length, frame_len) for g, v in groups.items()}
+    groups = normalize_groups(groups, stats)
+    out = merge_groups(groups)
+    return jnp.nan_to_num(out, nan=0.0)
+
+
+def preprocess_batch(
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    stats: GroupStats,
+    frame_len: int = lm.FRAME_LEN,
+    thin: bool = False,
+) -> jnp.ndarray:
+    """vmapped :func:`preprocess` over a [B, Tmax, 276] batch."""
+    return jax.vmap(lambda xi, li: preprocess(xi, li, stats, frame_len, thin))(
+        x, lengths
+    )
+
+
+def frame_mask(x: jnp.ndarray) -> jnp.ndarray:
+    """Keras ``Masking(0.0)`` semantics: a frame is valid if any feature != 0.
+
+    Reference: ``get_model`` stem (nb cell 7). Returns [..., T] boolean.
+    """
+    return jnp.any(x != 0.0, axis=-1)
+
+
+def numpy_oracle_preprocess(
+    x: np.ndarray,
+    stats: GroupStats | None = None,
+    frame_len: int = lm.FRAME_LEN,
+    thin: bool = False,
+) -> np.ndarray:
+    """Straightforward numpy re-statement of the reference semantics, used as
+    the golden oracle in tests (dynamic shapes allowed here)."""
+    stats = stats or GroupStats.identity()
+    if thin:
+        hands_idx = np.concatenate(
+            [lm.GROUP_IDX["rhand"], lm.GROUP_IDX["lhand"]], axis=0
+        )
+        hands = np.nan_to_num(
+            np.stack([x[:, hands_idx[:, c]] for c in range(3)], -1), nan=0.0
+        )
+        signal = hands.sum(axis=(1, 2)) != 0.0
+        alternating = (np.arange(x.shape[0]) % 2) == 0
+        x = x[signal | alternating]
+    out_groups = []
+    for g in lm.CONCAT_ORDER:
+        grp = np.stack([x[:, lm.GROUP_IDX[g][:, c]] for c in range(3)], axis=-1)
+        T = grp.shape[0]
+        if T < frame_len:
+            pad = np.full((frame_len - T,) + grp.shape[1:], np.nan, grp.dtype)
+            grp = np.concatenate([grp, pad], axis=0)
+        elif T > frame_len:
+            scale = T / frame_len
+            src = np.clip((np.arange(frame_len) + 0.5) * scale - 0.5, 0, T - 1)
+            lo = np.floor(src).astype(int)
+            hi = np.minimum(lo + 1, T - 1)
+            w = (src - lo)[:, None, None]
+            grp = grp[lo] * (1 - w) + grp[hi] * w
+        grp = (grp - np.asarray(stats.mean[g])) / np.asarray(stats.std[g])
+        out_groups.append(grp)
+    out = np.concatenate(out_groups, axis=1).reshape(frame_len, -1)
+    return np.nan_to_num(out, nan=0.0)
