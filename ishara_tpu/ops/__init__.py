@@ -1,0 +1,3 @@
+from .ctc import ctc_loss
+
+__all__ = ["ctc_loss"]

@@ -3,17 +3,22 @@ sharding tests run without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-# Hard-force CPU: the session env pins JAX_PLATFORMS to the TPU tunnel, which
-# must not be touched by unit tests (and would serialize them over one chip).
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Hard-force CPU with 8 virtual devices. The environment registers the axon
+# TPU-tunnel plugin via sitecustomize and pins jax_platforms itself, so the
+# env var alone is ignored — the config must be updated post-import, before
+# any backend initialization.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+# Persistent compile cache: model-test compiles dominate suite wall time.
+jax.config.update("jax_compilation_cache_dir", "/tmp/ishara_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture
