@@ -54,8 +54,10 @@ def test_overfit_tiny_batch():
         training=False)
     ids, ns = greedy_decode_batch(logits)
     preds = [tok.decode(np.asarray(i)[: int(n)]) for i, n in zip(ids, ns)]
-    hits = sum(p == t for p, t in zip(preds, batch["phrases"]))
-    assert hits >= len(preds) // 2, list(zip(preds, batch["phrases"]))
+    from ishara_tpu.evaluation import normalized_levenshtein
+
+    score = normalized_levenshtein(preds, batch["phrases"])
+    assert score >= 0.6, (score, list(zip(preds, batch["phrases"])))
 
 
 def test_sharded_train_step_8_devices():
