@@ -1,0 +1,89 @@
+"""Batch-1 streaming inference engine.
+
+TPU-native equivalent of the reference's ``TFLiteModel`` export (nb cell 13):
+raw landmark frames -> thin -> normalize/resample -> encoder -> greedy CTC
+collapse -> short-output fallback, fused into ONE compiled XLA executable via
+``jax.jit(...).lower().compile()`` — the analogue of the serialized TFLite
+graph, but resident on a TPU chip.
+
+The reference's fallback substitutes the constant phrase "2 a-e -aroe"
+(ids hardcoded from the public static-greedy baseline) whenever the decode
+yields fewer than 3 characters; reproduced here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import EncoderConfig
+from ..data import landmarks as lm
+from ..data.vocab import PAD_TOKEN_IDX
+from ..decode.greedy import greedy_decode
+from ..models.encoder import IsharaEncoder
+from ..preprocess.pipeline import GroupStats, preprocess
+
+# Reference constant-phrase fallback ids (nb cell 13), in the CTC vocab.
+FALLBACK_IDS = np.array([17, 0, 32, 12, 36, 0, 12, 32, 49, 46, 36], np.int32)
+
+
+class InferenceEngine:
+    """Compiles the full landmarks->ids pipeline to a single executable."""
+
+    def __init__(
+        self,
+        model: IsharaEncoder,
+        variables: dict,
+        stats: GroupStats | None = None,
+        max_raw_frames: int = 384,
+        max_out: int = lm.MAX_PHRASE_LENGTH,
+        donate_input: bool = False,
+    ):
+        self.model = model
+        self.variables = variables
+        self.stats = stats or GroupStats.identity()
+        self.max_raw_frames = max_raw_frames
+        self.max_out = max_out
+        cfg: EncoderConfig = model.cfg
+        self.frame_len = cfg.frame_len
+
+        def program(variables, raw, length):
+            x = preprocess(raw, length, self.stats, self.frame_len, thin=True)
+            logits = self.model.apply(variables, x[None], training=False)[0]
+            ids, count = greedy_decode(logits, max_len=self.max_out)
+            # reference fallback: <3 chars -> constant phrase
+            fb = jnp.full((self.max_out,), PAD_TOKEN_IDX, jnp.int32)
+            fb = fb.at[: len(FALLBACK_IDS)].set(jnp.asarray(FALLBACK_IDS))
+            use_fb = count < 3
+            ids = jnp.where(use_fb, fb, ids.astype(jnp.int32))
+            count = jnp.where(use_fb, len(FALLBACK_IDS), count)
+            return ids, count
+
+        self._program = program
+        shape = jax.ShapeDtypeStruct((max_raw_frames, lm.N_COLS), jnp.float32)
+        lshape = jax.ShapeDtypeStruct((), jnp.int32)
+        self._compiled = (
+            jax.jit(program)
+            .lower(variables, shape, lshape)
+            .compile()
+        )
+
+    def program_fn(self):
+        """The raw (uncompiled) program for embedding into larger graphs
+        (e.g. sequential multi-sequence benchmarking, server batching)."""
+        return self._program
+
+    def __call__(self, raw_frames: np.ndarray) -> tuple[np.ndarray, int]:
+        """raw [T, 276] (any T) -> (ids [max_out], count). Host-side pad/crop
+        to the static buffer; everything else on device."""
+        T = raw_frames.shape[0]
+        buf = np.zeros((self.max_raw_frames, lm.N_COLS), np.float32)
+        n = min(T, self.max_raw_frames)
+        buf[:n] = raw_frames[:n]
+        ids, count = self._compiled(self.variables, buf, np.int32(max(n, 1)))
+        return np.asarray(ids), int(count)
+
+    def predict_text(self, raw_frames: np.ndarray, tokenizer) -> str:
+        ids, count = self(raw_frames)
+        return tokenizer.decode(ids[:count])
