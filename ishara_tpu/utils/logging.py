@@ -1,0 +1,58 @@
+"""Metric logging: JSONL sink + stdout, wandb-compatible surface.
+
+Replaces the reference's hardwired wandb calls (integration.py:21-22,658-672,
+760-766) with a local-first logger; if wandb is importable and
+``ISHARA_WANDB=1`` is set, metrics mirror there too. Never embeds credentials
+(the reference leaked an API key — SURVEY.md header note)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+
+class MetricLogger:
+    def __init__(self, workdir: str | Path | None = None, name: str = "train",
+                 print_every: int = 10):
+        self.t0 = time.time()
+        self.print_every = print_every
+        self._file = None
+        if workdir is not None:
+            Path(workdir).mkdir(parents=True, exist_ok=True)
+            self._file = open(Path(workdir) / f"{name}_metrics.jsonl", "a")
+        self._wandb = None
+        if os.environ.get("ISHARA_WANDB") == "1":
+            try:
+                import wandb  # noqa: PLC0415
+
+                self._wandb = wandb
+                if wandb.run is None:
+                    wandb.init(project=os.environ.get(
+                        "ISHARA_WANDB_PROJECT", "ishara-tpu"))
+            except Exception:
+                self._wandb = None
+        self._n = 0
+
+    def log(self, metrics: dict, step: int | None = None) -> None:
+        rec = {"t": round(time.time() - self.t0, 3), **metrics}
+        if step is not None:
+            rec["step"] = int(step)
+        if self._file is not None:
+            self._file.write(json.dumps(rec) + "\n")
+            self._file.flush()
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
+        self._n += 1
+        if self._n % self.print_every == 0 or "val_score" in metrics:
+            parts = " ".join(
+                f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in rec.items()
+            )
+            print(parts, file=sys.stderr, flush=True)
+
+    def close(self):
+        if self._file is not None:
+            self._file.close()
