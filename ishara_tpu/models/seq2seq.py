@@ -1,0 +1,312 @@
+"""Encoder-decoder translation model — the torch-path family
+(``integration.py:24-394`` ``ASLTranslationModel``), rebuilt TPU-first.
+
+Architecture contract (per-component reference cites inline):
+
+* per-group FeatureExtractor: Conv over the landmark axis -> BN -> relu ->
+  mean-pool -> Linear(52) per frame (integration.py:24-53)
+* rotary position embedding on q/k halves, head_dim = dim//heads
+  (integration.py:55-104; the reference hardcodes heads=8 in RoPE)
+* Squeezeformer blocks with a single shared learnable residual ``scale``
+  (integration.py:203-278)
+* transformer decoder: 2 pre-norm layers, causal self-attn + cross-attn with
+  encoder padding mask (integration.py:337-394, nn.TransformerDecoder)
+* confidence head on encoder position 0 (integration.py:319,359)
+
+The group slicing here follows THIS framework's 92-landmark layout
+(lip 40 | rhand 21 | lhand 21 | rpose 5 | lpose 5 — see data.landmarks)
+rather than the torch path's 130-landmark data_loader layout; the reference's
+own two pipelines already disagree on the layout, and the grouped-extractor
+semantics are what carries.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .layers import LN_EPS, BN_EPS, BN_MOMENTUM
+
+
+class FeatureExtractor(nn.Module):
+    """[B, T, L, 3] group -> [B, T, out] frame features."""
+
+    out_dim: int = 52
+    hidden: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        B, T, L, C = x.shape
+        h = x.reshape(B * T, L, C)
+        h = nn.Conv(self.hidden, (3,), padding="SAME", dtype=self.dtype,
+                    name="conv")(h)          # conv over the landmark axis
+        h = nn.BatchNorm(use_running_average=not training,
+                         momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                         dtype=self.dtype, name="bn")(h)
+        h = nn.relu(h)
+        h = jnp.mean(h, axis=1)              # pool over landmarks
+        h = nn.Dense(self.out_dim, dtype=self.dtype, name="proj")(h)
+        return h.reshape(B, T, self.out_dim)
+
+
+def rope_tables(head_dim: int, max_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """Precomputed sin/cos for rotating half the head dim."""
+    half = head_dim // 2
+    inv = np.exp(np.arange(half) * -(np.log(10000.0) / max(half - 1, 1)))
+    ang = np.arange(max_len)[:, None] * inv[None, :]
+    return np.sin(ang).astype(np.float32), np.cos(ang).astype(np.float32)
+
+
+def apply_rope(q, k, sin, cos):
+    """Rotate the two halves of the head dim (integration.py:85-104 layout:
+    half-split, not interleaved)."""
+    def rot(x):
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        return jnp.concatenate(
+            [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+        )
+    return rot(q), rot(k)
+
+
+class RoPEMultiHeadAttention(nn.Module):
+    dim: int
+    num_heads: int = 8
+    dropout: float = 0.1
+    max_len: int = 384
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        B, T, _ = x.shape
+        H, Dh = self.num_heads, self.dim // self.num_heads
+        q = nn.Dense(self.dim, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(self.dim, dtype=self.dtype, name="k")(x)
+        v = nn.Dense(self.dim, dtype=self.dtype, name="v")(x)
+        q = q.reshape(B, T, H, Dh)
+        k = k.reshape(B, T, H, Dh)
+        v = v.reshape(B, T, H, Dh)
+        sin, cos = rope_tables(Dh, self.max_len)
+        sin = jnp.asarray(sin[:T], self.dtype)[None, :, None, :]
+        cos = jnp.asarray(cos[:T], self.dtype)[None, :, None, :]
+        q, k = apply_rope(q, k, sin, cos)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (Dh ** -0.5)
+        if mask is not None:
+            attn = jnp.where(mask[:, None, None, :], attn,
+                             jnp.finfo(attn.dtype).min)
+        attn = nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out")(out)
+
+
+class _ConvModule(nn.Module):
+    """pw(2d)+GLU -> dw k=3 'same' -> BN -> SiLU -> pw (integration.py conv
+    module inside both block types)."""
+
+    dim: int
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        h = nn.Conv(self.dim * 2, (1,), dtype=self.dtype, name="pw1")(x)
+        a, b = jnp.split(h, 2, axis=-1)
+        h = a * nn.sigmoid(b)
+        h = nn.Conv(self.dim, (3,), padding="SAME",
+                    feature_group_count=self.dim, dtype=self.dtype,
+                    name="dw")(h)
+        h = nn.BatchNorm(use_running_average=not training,
+                         momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                         name="bn")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.dim, (1,), dtype=self.dtype, name="pw2")(h)
+        return nn.Dropout(self.dropout)(h, deterministic=not training)
+
+
+class _FF(nn.Module):
+    dim: int
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.Dense(self.dim * 4, dtype=self.dtype, name="fc1")(x)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+        return nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+
+class RoPESqueezeformerBlock(nn.Module):
+    """FF1 -> RoPE-MHSA -> conv -> FF2, all residuals scaled by one shared
+    learnable scalar (integration.py:203-278)."""
+
+    dim: int
+    num_heads: int = 8
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, training: bool = False):
+        det = not training
+        scale = self.param("scale", nn.initializers.ones, (1,))
+        h = nn.LayerNorm(epsilon=LN_EPS, name="ff1_norm")(x)
+        x = x + _FF(self.dim, self.dropout, self.dtype, name="ff1")(
+            h, deterministic=det) * scale
+        h = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x)
+        h = RoPEMultiHeadAttention(self.dim, self.num_heads, self.dropout,
+                                   dtype=self.dtype, name="mhsa")(
+            h, mask=mask, deterministic=det)
+        h = nn.Dropout(self.dropout)(h, deterministic=det)
+        x = x + h * scale
+        h = nn.LayerNorm(epsilon=LN_EPS, name="conv_norm")(x)
+        x = x + _ConvModule(self.dim, self.dropout, self.dtype, name="conv")(
+            h, training=training) * scale
+        h = nn.LayerNorm(epsilon=LN_EPS, name="ff2_norm")(x)
+        x = x + _FF(self.dim, self.dropout, self.dtype, name="ff2")(
+            h, deterministic=det) * scale
+        return x
+
+
+class DecoderLayer(nn.Module):
+    """Pre-norm transformer decoder layer (nn.TransformerDecoderLayer with
+    norm_first=True): causal self-attn, cross-attn, FFN."""
+
+    dim: int
+    num_heads: int = 8
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, memory_mask=None, deterministic=True):
+        B, S, _ = tgt.shape
+        H, Dh = self.num_heads, self.dim // self.num_heads
+        causal = jnp.tril(jnp.ones((S, S), bool))
+
+        h = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(tgt)
+        q = nn.Dense(self.dim, dtype=self.dtype, name="sa_q")(h).reshape(B, S, H, Dh)
+        k = nn.Dense(self.dim, dtype=self.dtype, name="sa_k")(h).reshape(B, S, H, Dh)
+        v = nn.Dense(self.dim, dtype=self.dtype, name="sa_v")(h).reshape(B, S, H, Dh)
+        a = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (Dh ** -0.5)
+        a = jnp.where(causal[None, None], a, jnp.finfo(a.dtype).min)
+        a = nn.softmax(a, axis=-1)
+        a = nn.Dropout(self.dropout)(a, deterministic=deterministic)
+        h = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(B, S, self.dim)
+        tgt = tgt + nn.Dense(self.dim, dtype=self.dtype, name="sa_out")(h)
+
+        h = nn.LayerNorm(epsilon=LN_EPS, name="norm2")(tgt)
+        T = memory.shape[1]
+        q = nn.Dense(self.dim, dtype=self.dtype, name="ca_q")(h).reshape(B, S, H, Dh)
+        k = nn.Dense(self.dim, dtype=self.dtype, name="ca_k")(memory).reshape(B, T, H, Dh)
+        v = nn.Dense(self.dim, dtype=self.dtype, name="ca_v")(memory).reshape(B, T, H, Dh)
+        a = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (Dh ** -0.5)
+        if memory_mask is not None:
+            a = jnp.where(memory_mask[:, None, None, :], a,
+                          jnp.finfo(a.dtype).min)
+        a = nn.softmax(a, axis=-1)
+        a = nn.Dropout(self.dropout)(a, deterministic=deterministic)
+        h = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(B, S, self.dim)
+        tgt = tgt + nn.Dense(self.dim, dtype=self.dtype, name="ca_out")(h)
+
+        h = nn.LayerNorm(epsilon=LN_EPS, name="norm3")(tgt)
+        h = nn.Dense(self.dim * 4, dtype=self.dtype, name="fc1")(h)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+        return tgt + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+
+class ASLTranslationModel(nn.Module):
+    """Grouped feature extraction -> RoPE Squeezeformer encoder -> causal
+    transformer decoder + confidence head (integration.py:280-394).
+
+    ``__call__(x, mask, tgt)``: x [B, T, 92, 3] grouped landmarks; tgt token
+    ids [B, S] or None (None -> classifier over encoder states, the
+    reference's validation mode, integration.py:819). ``encode``/``decode``
+    are exposed separately so autoregressive inference runs the encoder once.
+    """
+
+    num_classes: int = 62
+    feature_dim: int = 208
+    num_layers: int = 2
+    num_decoder_layers: int = 2
+    num_heads: int = 8
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        d = self.feature_dim
+        self.face_extractor = FeatureExtractor(d // 4, dtype=self.dtype)
+        self.rhand_extractor = FeatureExtractor(d // 4, dtype=self.dtype)
+        self.lhand_extractor = FeatureExtractor(d // 4, dtype=self.dtype)
+        self.pose_extractor = FeatureExtractor(d // 4, dtype=self.dtype)
+        self.squeezeformer_layers = [
+            RoPESqueezeformerBlock(d, self.num_heads, self.dropout,
+                                   dtype=self.dtype)
+            for _ in range(self.num_layers)
+        ]
+        self.confidence_head = nn.Dense(1, dtype=self.dtype)
+        self.target_embedding = nn.Embed(self.num_classes, d, dtype=self.dtype)
+        self.decoder_layers = [
+            DecoderLayer(d, self.num_heads, self.dropout, dtype=self.dtype)
+            for _ in range(self.num_decoder_layers)
+        ]
+        self.decoder_norm = nn.LayerNorm(epsilon=LN_EPS)
+        self.classifier = nn.Dense(self.num_classes, dtype=self.dtype)
+        self.emb_dropout = nn.Dropout(self.dropout)
+
+    def encode(self, x, mask=None, training: bool = False):
+        """x [B, T, 92, 3] -> (memory [B, T, d], confidence [B])."""
+        # group slices in THIS framework's layout (lip|rhand|lhand|rpose|lpose)
+        feats = [
+            self.face_extractor(x[:, :, 0:40], training=training),
+            self.rhand_extractor(x[:, :, 40:61], training=training),
+            self.lhand_extractor(x[:, :, 61:82], training=training),
+            self.pose_extractor(x[:, :, 82:92], training=training),
+        ]
+        enc = jnp.concatenate(feats, axis=-1)
+        for layer in self.squeezeformer_layers:
+            enc = layer(enc, mask=mask, training=training)
+        confidence = self.confidence_head(enc[:, 0])[..., 0]
+        return enc, confidence.astype(jnp.float32)
+
+    def decode(self, tgt, memory, memory_mask=None, training: bool = False):
+        """tgt ids [B, S] + memory -> logits [B, S, num_classes]."""
+        det = not training
+        dec = self.target_embedding(tgt)
+        dec = self.emb_dropout(dec, deterministic=det)
+        for layer in self.decoder_layers:
+            dec = layer(dec, memory, memory_mask=memory_mask,
+                        deterministic=det)
+        dec = self.decoder_norm(dec)
+        return self.classifier(dec).astype(jnp.float32)
+
+    def __call__(self, x, mask=None, tgt=None, training: bool = False):
+        enc, confidence = self.encode(x, mask=mask, training=training)
+        if tgt is not None:
+            out = self.decode(tgt, enc, memory_mask=mask, training=training)
+        else:
+            out = self.classifier(enc).astype(jnp.float32)
+        return out, confidence
+
+
+def translation_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    confidence: jnp.ndarray,
+    confidence_target: jnp.ndarray,
+    pad_idx: int = 0,
+    conf_weight: float = 0.1,
+) -> jnp.ndarray:
+    """CE (ignore pad) + 0.1 * MSE(confidence) (integration.py:443-466)."""
+    valid = targets != pad_idx
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    ce = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+    mse = jnp.mean((confidence - confidence_target) ** 2)
+    return ce + conf_weight * mse

@@ -1,0 +1,73 @@
+"""Training step for the encoder-decoder (torch-path) model.
+
+Key TPU-first change vs. the reference: the confidence target — the
+normalized Levenshtein similarity between the greedy prediction and the
+target (integration.py:736-745) — is computed **on device** with the batched
+wavefront edit-distance kernel instead of a per-batch host sync.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.seq2seq import translation_loss
+from ..ops.levenshtein import normalized_similarity
+from .state import TrainState
+
+
+def token_lengths(ids: jnp.ndarray, eos: int, pad: int) -> jnp.ndarray:
+    """Length up to (excluding) the first eos; pads don't count."""
+    is_end = (ids == eos) | (ids == pad)
+    idx = jnp.argmax(is_end, axis=-1)
+    has = jnp.any(is_end, axis=-1)
+    return jnp.where(has, idx, ids.shape[-1]).astype(jnp.int32)
+
+
+def make_translation_train_step(pad_idx: int = 0, eos_idx: int = 2,
+                                conf_weight: float = 0.1):
+    def step(state: TrainState, batch: dict, rng: jax.Array):
+        """batch: x [B,T,92,3] grouped landmarks, mask [B,T], tokens [B,S]."""
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        tokens = batch["tokens"]
+        tgt_in, tgt_out = tokens[:, :-1], tokens[:, 1:]
+
+        def loss_fn(params):
+            (pred, confidence), updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["x"], batch.get("mask"), tgt_in,
+                training=True,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"],
+            )
+            # on-device confidence target (stop-grad, like the reference's
+            # torch.no_grad block)
+            pred_ids = jnp.argmax(jax.lax.stop_gradient(pred), axis=-1)
+            sim = normalized_similarity(
+                pred_ids, tgt_out,
+                token_lengths(pred_ids, eos_idx, pad_idx),
+                token_lengths(tgt_out, eos_idx, pad_idx),
+            )
+            loss = translation_loss(pred, tgt_out, confidence, sim,
+                                    pad_idx=pad_idx, conf_weight=conf_weight)
+            return loss, (updates["batch_stats"], confidence)
+
+        (loss, (new_bs, confidence)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = state.tx.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, slow_params=params,
+            batch_stats=new_bs, opt_state=new_opt_state,
+        )
+        return new_state, {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "confidence_mean": jnp.mean(confidence),
+        }
+
+    return step
