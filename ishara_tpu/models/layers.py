@@ -115,29 +115,50 @@ class MultiHeadSelfAttention(nn.Module):
 
     Score scale is ``dim**-0.5`` over the full model dim — a reference quirk
     (nb cell 5 ``MultiHeadSelfAttention.scale``) kept for weight parity.
+
+    When attention dropout is inactive (rate 0 or deterministic) the scores/
+    softmax/value contraction run as the fused Pallas flash kernel
+    (:func:`ishara_tpu.ops.attention.flash_mhsa`); with attention dropout
+    active it falls back to the einsum path so the dropout mask stays under
+    flax RNG. ``use_flash`` defaults to False: at this model size (T=176, Dh=32) XLA's
+    batched einsum measured faster on v5e; the kernel is the path for longer
+    FRAME_LEN / future context-parallel sharding (SURVEY.md §5 long-context).
     """
 
     dim: int = 256
     num_heads: int = 4
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
+        from ..ops.attention import NEG, flash_mhsa, _on_tpu
+
         B, T, _ = x.shape
         H = self.num_heads
         Dh = self.dim // H
         qkv = nn.Dense(3 * self.dim, use_bias=False, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, T, H, 3 * Dh).transpose(0, 2, 1, 3)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        scale = self.dim ** -0.5
 
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (self.dim ** -0.5)
-        if mask is not None:
-            attn = jnp.where(mask[:, None, None, :], attn, jnp.finfo(attn.dtype).min)
-        attn = nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        flash_ok = self.use_flash and (deterministic or self.dropout == 0.0)
+        if flash_ok:
+            bias = (
+                jnp.where(mask, 0.0, NEG).astype(jnp.float32)
+                if mask is not None else jnp.zeros((B, T), jnp.float32)
+            )
+            out = flash_mhsa(q, k, v, bias, scale, not _on_tpu())
+        else:
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+            if mask is not None:
+                attn = jnp.where(mask[:, None, None, :], attn,
+                                 jnp.finfo(attn.dtype).min)
+            attn = nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
 
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.dim)
         return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="proj")(out)
 
