@@ -1,0 +1,102 @@
+"""Model export/import — the TPU-native analogue of the reference's TFLite
+deployment artifact (nb cells 13-14).
+
+An export bundle is a directory containing:
+
+* ``config.json`` — the full typed IsharaConfig;
+* ``params.msgpack`` — flax-serialized variables (params + batch_stats),
+  optionally cast to bf16 (the reference exports fp16);
+* ``inference_args.json`` — ``{"selected_columns": SEL_COLS}``, byte-for-byte
+  the contract the reference's serving scripts consume
+  (``inference tests/image_inference.py:11-12``);
+* ``stats.npz`` — per-group normalization statistics.
+
+``load_engine`` rebuilds the compiled batch-1 InferenceEngine from a bundle;
+the XLA executable is (re)compiled on load and cached by the persistent
+compilation cache — the runtime analogue of shipping a .tflite flatbuffer.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ..config import IsharaConfig
+from ..data.landmarks import SEL_COLS
+from ..models.encoder import IsharaEncoder
+from ..preprocess.pipeline import GroupStats
+
+
+def export_model(
+    directory: str | Path,
+    config: IsharaConfig,
+    variables: dict,
+    stats: GroupStats | None = None,
+    half_precision: bool = True,
+) -> Path:
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    config.to_json(directory / "config.json")
+    (directory / "inference_args.json").write_text(
+        json.dumps({"selected_columns": SEL_COLS})
+    )
+    if half_precision:
+        variables = _cast_floats(variables, jnp.bfloat16)
+    (directory / "params.msgpack").write_bytes(
+        serialization.to_bytes(variables)
+    )
+    stats = stats or GroupStats.identity()
+    np.savez(
+        directory / "stats.npz",
+        **{f"mean_{g}": np.asarray(v) for g, v in stats.mean.items()},
+        **{f"std_{g}": np.asarray(v) for g, v in stats.std.items()},
+    )
+    return directory
+
+
+def _cast_floats(tree, dtype):
+    import jax
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.asarray(x, dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, tree)
+
+
+def load_bundle(directory: str | Path):
+    """-> (config, variables, stats)."""
+    directory = Path(directory)
+    config = IsharaConfig.from_json(directory / "config.json")
+    model = IsharaEncoder(config.model)
+    sample = jnp.zeros((1, config.model.frame_len, config.model.input_dim),
+                       jnp.float32)
+    import jax
+
+    template = model.init(jax.random.key(0), sample)
+    variables = serialization.from_bytes(
+        template, (directory / "params.msgpack").read_bytes()
+    )
+    # params are used in fp32 compute; cast back up
+    variables = _cast_floats(variables, jnp.float32)
+    z = np.load(directory / "stats.npz")
+    groups = sorted({k[5:] for k in z.files if k.startswith("mean_")})
+    stats = GroupStats(
+        mean={g: jnp.asarray(z[f"mean_{g}"]) for g in groups},
+        std={g: jnp.asarray(z[f"std_{g}"]) for g in groups},
+    )
+    return config, variables, stats
+
+
+def load_engine(directory: str | Path, **engine_kwargs):
+    """Rebuild the compiled batch-1 serving engine from an export bundle."""
+    from .engine import InferenceEngine
+
+    config, variables, stats = load_bundle(directory)
+    model = IsharaEncoder(config.model)
+    return InferenceEngine(model, variables, stats=stats, **engine_kwargs)
