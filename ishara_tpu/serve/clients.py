@@ -1,0 +1,118 @@
+"""Thin real-time serving clients — rebuilds of the reference's
+``inference tests/`` scripts (inference_v2/v3, image_inference,
+real_time_tracking) against the TPU engine instead of a TFLite interpreter.
+
+MediaPipe/OpenCV are optional extras (not part of the framework's core
+dependency set, exactly as in the reference where they're standalone
+scripts); every entry point degrades with a clear error if they're missing.
+The framework boundary is landmark tensors — these clients only do camera
+capture + MediaPipe landmark extraction + drawing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..data import landmarks as lm
+
+
+def _require(modname: str):
+    try:
+        return __import__(modname)
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            f"{modname} is required for this client (pip install {modname}); "
+            "the core framework does not depend on it"
+        ) from e
+
+
+def mediapipe_to_frame(results, pose_results=None, face_results=None) -> np.ndarray:
+    """Convert MediaPipe Holistic/Hands results to one [276] frame in
+    SEL_COLS order (missing landmarks -> NaN), mirroring the reference's
+    column contract (image_inference.py:19-44)."""
+    frame = np.full((lm.N_COLS,), np.nan, np.float32)
+
+    def put(prefix, idx, landmark):
+        col = lm.SEL_COLS.index(f"x_{prefix}_{idx}")
+        frame[col] = landmark.x
+        frame[col + lm.N_LANDMARKS] = landmark.y
+        frame[col + 2 * lm.N_LANDMARKS] = landmark.z
+
+    if getattr(results, "right_hand_landmarks", None):
+        for i, pt in enumerate(results.right_hand_landmarks.landmark):
+            put("right_hand", i, pt)
+    if getattr(results, "left_hand_landmarks", None):
+        for i, pt in enumerate(results.left_hand_landmarks.landmark):
+            put("left_hand", i, pt)
+    if getattr(results, "pose_landmarks", None):
+        for i in lm.POSE:
+            put("pose", i, results.pose_landmarks.landmark[i])
+    if getattr(results, "face_landmarks", None):
+        for i in lm.LIP:
+            put("face", i, results.face_landmarks.landmark[i])
+    return frame
+
+
+def nan_filter_left_hand_flip(frames: np.ndarray) -> np.ndarray:
+    """inference_v3.py semantics: if the left hand has more signal than the
+    right, mirror x and swap hands so the dominant hand is 'right'."""
+    from ..preprocess.augment import _FLIP_PERM
+
+    rh = frames[:, lm.GROUP_IDX["rhand"][:, 0]]
+    lh = frames[:, lm.GROUP_IDX["lhand"][:, 0]]
+    if np.isnan(lh).sum() < np.isnan(rh).sum():
+        flipped = frames[:, np.asarray(_FLIP_PERM)]
+        flipped[:, : lm.N_LANDMARKS] = 1.0 - flipped[:, : lm.N_LANDMARKS]
+        return flipped
+    return frames
+
+
+def predict_from_image(engine, tokenizer, image_path: str) -> str:
+    """Static-image prediction (image_inference.py): one MediaPipe frame ->
+    engine -> text."""
+    cv2 = _require("cv2")
+    mp = _require("mediapipe")
+
+    img = cv2.cvtColor(cv2.imread(image_path), cv2.COLOR_BGR2RGB)
+    with mp.solutions.holistic.Holistic(static_image_mode=True) as holistic:
+        results = holistic.process(img)
+    frame = mediapipe_to_frame(results)
+    return engine.predict_text(frame[None, :], tokenizer)
+
+
+def run_webcam(engine, tokenizer, window_frames: int = 64,
+               camera_index: int = 0, draw: bool = True) -> None:
+    """Live webcam loop (real_time_tracking.py / inference_v2.py): sliding
+    window of landmark frames -> engine -> overlay text."""
+    cv2 = _require("cv2")
+    mp = _require("mediapipe")
+
+    holistic = mp.solutions.holistic.Holistic()
+    cap = cv2.VideoCapture(camera_index)
+    buf: list[np.ndarray] = []
+    text = ""
+    try:
+        while True:
+            ok, img = cap.read()
+            if not ok:
+                break
+            results = holistic.process(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+            buf.append(mediapipe_to_frame(results))
+            if len(buf) > window_frames:
+                buf.pop(0)
+            if len(buf) == window_frames:
+                seq = nan_filter_left_hand_flip(np.stack(buf))
+                text = engine.predict_text(seq, tokenizer)
+            if draw:
+                if results.right_hand_landmarks:
+                    mp.solutions.drawing_utils.draw_landmarks(
+                        img, results.right_hand_landmarks)
+                cv2.putText(img, text, (10, 40),
+                            cv2.FONT_HERSHEY_SIMPLEX, 1, (0, 255, 0), 2)
+                cv2.imshow("ishara-tpu", img)
+                if cv2.waitKey(1) & 0xFF == ord("q"):
+                    break
+    finally:
+        cap.release()
+        if draw:
+            cv2.destroyAllWindows()
