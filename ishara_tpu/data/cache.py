@@ -1,0 +1,110 @@
+"""Preprocessed shard cache — the TFRecord-path equivalent.
+
+The reference pre-bins parquet into TFRecords (one file per source parquet,
+``asl-translation-nb3.ipynb``) so training streams decoded tensors instead of
+re-parsing parquet. Here: raw [T, 276] sequences and phrases are packed into
+compressed .npz shards once, and :class:`ShardedASLFR` serves the
+``render/batch`` protocol straight from memory-mapped shards — keeping the
+host input path off the training critical path (the device step consumes raw
+landmarks; all preprocessing is fused on device).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from . import landmarks as lm
+from .vocab import PAD_TOKEN_IDX
+
+
+def write_shards(dataset, out_dir: str | Path, shard_size: int = 512) -> Path:
+    """Pack any render-protocol dataset into .npz shards + manifest."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    manifest = []
+    shard_idx = 0
+    buf_x, buf_len, buf_phrase = [], [], []
+
+    def flush():
+        nonlocal shard_idx, buf_x, buf_len, buf_phrase
+        if not buf_x:
+            return
+        Tmax = max(x.shape[0] for x in buf_x)
+        arr = np.full((len(buf_x), Tmax, lm.N_COLS), np.nan, np.float32)
+        for i, x in enumerate(buf_x):
+            arr[i, : x.shape[0]] = x
+        path = out_dir / f"shard_{shard_idx:05d}.npz"
+        np.savez_compressed(path, x=arr,
+                            lengths=np.asarray(buf_len, np.int32),
+                            phrases=np.asarray(buf_phrase, object))
+        manifest.append({"file": path.name, "count": len(buf_x)})
+        shard_idx += 1
+        buf_x, buf_len, buf_phrase = [], [], []
+
+    for i in range(len(dataset)):
+        x, phrase = dataset.render(i)
+        buf_x.append(x.astype(np.float32))
+        buf_len.append(x.shape[0])
+        buf_phrase.append(phrase)
+        if len(buf_x) >= shard_size:
+            flush()
+    flush()
+    (out_dir / "manifest.json").write_text(json.dumps(manifest))
+    return out_dir
+
+
+class ShardedASLFR:
+    """Serves the render/batch protocol from a shard directory."""
+
+    def __init__(self, shard_dir: str | Path):
+        self.dir = Path(shard_dir)
+        manifest = json.loads((self.dir / "manifest.json").read_text())
+        self._shards = []
+        self._offsets = []
+        total = 0
+        for entry in manifest:
+            self._offsets.append(total)
+            self._shards.append(entry["file"])
+            total += entry["count"]
+        self._total = total
+        self._cache: dict[int, dict] = {}
+
+    def __len__(self):
+        return self._total
+
+    def _shard_for(self, idx: int) -> tuple[dict, int]:
+        import bisect
+
+        s = bisect.bisect_right(self._offsets, idx) - 1
+        if s not in self._cache:
+            if len(self._cache) > 2:
+                self._cache.pop(next(iter(self._cache)))
+            z = np.load(self.dir / self._shards[s], allow_pickle=True)
+            self._cache[s] = {"x": z["x"], "lengths": z["lengths"],
+                              "phrases": z["phrases"]}
+        return self._cache[s], idx - self._offsets[s]
+
+    def render(self, idx: int) -> tuple[np.ndarray, str]:
+        shard, j = self._shard_for(int(idx))
+        T = int(shard["lengths"][j])
+        return shard["x"][j, :T], str(shard["phrases"][j])
+
+    def batch(self, indices, tokenizer, max_frames: int = 384,
+              max_phrase: int = lm.MAX_PHRASE_LENGTH) -> dict:
+        idx = list(indices)
+        xs = np.zeros((len(idx), max_frames, lm.N_COLS), np.float32)
+        lens = np.zeros((len(idx),), np.int32)
+        labels = np.full((len(idx), max_phrase), PAD_TOKEN_IDX, np.int32)
+        phrases = []
+        for i, k in enumerate(idx):
+            x, phrase = self.render(int(k))
+            T = min(x.shape[0], max_frames)
+            xs[i, :T] = x[:T]
+            lens[i] = max(T, 1)
+            labels[i] = tokenizer.encode(phrase, max_len=max_phrase)
+            phrases.append(phrase)
+        return {"raw": xs, "lengths": lens, "labels": labels,
+                "phrases": phrases}

@@ -53,6 +53,44 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+
+def _select(ok, new, old):
+    return jax.tree_util.tree_map(lambda n, o: jnp.where(ok, n, o), new, old)
+
+
+def _finish_step(state: "TrainState", loss, grads, new_batch_stats):
+    """Optimizer update + Lookahead + non-finite guard, shared by the CTC
+    train steps. A non-finite loss (the reference's skip-batch failure mode,
+    integration.py:779-788) leaves every state leaf unchanged — the guard is
+    inside the compiled program so donated buffers stay valid."""
+    updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+    fast = optax.apply_updates(state.params, updates)
+    k = state.lookahead_sync_period
+    if k > 1:
+        sync = (state.step + 1) % k == 0
+        alpha = state.lookahead_alpha
+        new_slow = jax.tree_util.tree_map(
+            lambda s, f: jnp.where(sync, s + alpha * (f - s), s),
+            state.slow_params, fast,
+        )
+        new_fast = jax.tree_util.tree_map(
+            lambda s, f: jnp.where(sync, s, f), new_slow, fast
+        )
+    else:
+        new_slow, new_fast = fast, fast
+
+    ok = jnp.isfinite(loss)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=_select(ok, new_fast, state.params),
+        slow_params=_select(ok, new_slow, state.slow_params),
+        batch_stats=_select(ok, new_batch_stats, state.batch_stats),
+        opt_state=_select(ok, new_opt_state, state.opt_state),
+    )
+    metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+    return new_state, metrics
+
+
 def ctc_train_step(
     state: TrainState, batch: dict, rng: jax.Array, blank_id: int = 59
 ) -> tuple[TrainState, dict]:
@@ -73,36 +111,7 @@ def ctc_train_step(
     (loss, new_batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params
     )
-    updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
-    fast = optax.apply_updates(state.params, updates)
-
-    # Lookahead: every k steps pull slow towards fast and reset fast to slow.
-    k = state.lookahead_sync_period
-    if k > 1:
-        sync = (state.step + 1) % k == 0
-        alpha = state.lookahead_alpha
-        new_slow = jax.tree_util.tree_map(
-            lambda s, f: jnp.where(sync, s + alpha * (f - s), s),
-            state.slow_params, fast,
-        )
-        new_fast = jax.tree_util.tree_map(
-            lambda s, f: jnp.where(sync, s, f), new_slow, fast
-        )
-    else:
-        new_slow, new_fast = fast, fast
-
-    new_state = state.replace(
-        step=state.step + 1,
-        params=new_fast,
-        slow_params=new_slow,
-        batch_stats=new_batch_stats,
-        opt_state=new_opt_state,
-    )
-    metrics = {
-        "loss": loss,
-        "grad_norm": optax.global_norm(grads),
-    }
-    return new_state, metrics
+    return _finish_step(state, loss, grads, new_batch_stats)
 
 
 def make_fused_ctc_train_step(
@@ -141,31 +150,7 @@ def make_fused_ctc_train_step(
         (loss, new_batch_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        updates, new_opt_state = state.tx.update(
-            grads, state.opt_state, state.params
-        )
-        fast = optax.apply_updates(state.params, updates)
-        k = state.lookahead_sync_period
-        if k > 1:
-            sync = (state.step + 1) % k == 0
-            alpha = state.lookahead_alpha
-            new_slow = jax.tree_util.tree_map(
-                lambda s, f: jnp.where(sync, s + alpha * (f - s), s),
-                state.slow_params, fast,
-            )
-            new_fast = jax.tree_util.tree_map(
-                lambda s, f: jnp.where(sync, s, f), new_slow, fast
-            )
-        else:
-            new_slow, new_fast = fast, fast
-        new_state = state.replace(
-            step=state.step + 1,
-            params=new_fast,
-            slow_params=new_slow,
-            batch_stats=new_batch_stats,
-            opt_state=new_opt_state,
-        )
-        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return _finish_step(state, loss, grads, new_batch_stats)
 
     return step
 

@@ -125,17 +125,29 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int, rng) -> float:
+        from ..utils.prefetch import prefetch
+
         tput = Throughput()
         losses = []
-        for bi, indices in enumerate(self._epoch_indices(epoch)):
-            batch = self.train_data.batch(
-                indices, self.tokenizer, max_frames=self.max_raw_frames
-            )
+        batches = prefetch(
+            (self.train_data.batch(idx, self.tokenizer,
+                                   max_frames=self.max_raw_frames)
+             for idx in self._epoch_indices(epoch)),
+            depth=2,
+        )
+        for bi, batch in enumerate(batches):
             self.state, metrics = self._train_step(
                 self.state, self._device_batch(batch), rng
             )
             if bi % 10 == 0:
                 loss = float(metrics["loss"])
+                # non-finite batches are skipped inside the jitted step
+                # (update gated on isfinite — the reference's analogue is the
+                # OOM catch-and-continue, integration.py:779-788)
+                if not np.isfinite(loss):
+                    self.logger.log({"skipped_nonfinite_batch": bi,
+                                     "epoch": epoch})
+                    continue
                 losses.append(loss)
                 step = int(self.state.step)
                 self.logger.log(
