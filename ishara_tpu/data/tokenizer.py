@@ -45,6 +45,7 @@ class Seq2SeqTokenizer:
     def __init__(self, char_map: dict[str, int] | None = None):
         base = char_map or default_char_map()
         self.pad_token = 0
+        self.pad_idx = 0  # alias: datasets use .pad_idx uniformly
         self.sos_token = 1
         self.eos_token = 2
         self.char_to_idx = {c: i + 3 for c, i in base.items()}

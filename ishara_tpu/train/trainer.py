@@ -49,6 +49,7 @@ class Trainer:
         workdir: str | Path = "runs/default",
         mesh=None,
         max_raw_frames: int = 384,
+        task: str = "ctc",
     ):
         self.cfg = config
         self.train_data = train_data
@@ -58,29 +59,68 @@ class Trainer:
         self.workdir = Path(workdir)
         self.mesh = mesh
         self.max_raw_frames = max_raw_frames
+        self.task = task
 
         mcfg = config.model
         tcfg = config.train
         steps_per_epoch = max(1, len(train_data) // tcfg.batch_size)
         tcfg.steps_per_epoch = steps_per_epoch
 
-        self.model = IsharaEncoder(mcfg)
         tx, self.schedule = make_optimizer(tcfg)
-        sample = jnp.zeros((1, mcfg.frame_len, mcfg.input_dim), jnp.float32)
-        self.state = TrainState.create(
-            self.model, tx, sample, rng=jax.random.key(tcfg.seed),
-            lookahead_sync_period=(
-                tcfg.lookahead_sync_period
-                if tcfg.optimizer == "radam_lookahead" else 1
-            ),
-        )
+        lookahead = (tcfg.lookahead_sync_period
+                     if tcfg.optimizer == "radam_lookahead" else 1)
+        if task == "ctc":
+            self.model = IsharaEncoder(mcfg)
+            sample = jnp.zeros((1, mcfg.frame_len, mcfg.input_dim),
+                               jnp.float32)
+            self.state = TrainState.create(
+                self.model, tx, sample, rng=jax.random.key(tcfg.seed),
+                lookahead_sync_period=lookahead,
+            )
+            train_step = make_fused_ctc_train_step(
+                self.stats, mcfg.frame_len, tcfg.aug_prob, mcfg.blank_id
+            )
+            eval_step = make_fused_ctc_eval_step(
+                self.stats, mcfg.frame_len, mcfg.blank_id
+            )
+        elif task == "translation":
+            from ..models.seq2seq import ASLTranslationModel
+            from .translation import (
+                make_fused_translation_eval_step,
+                make_fused_translation_train_step,
+            )
 
-        train_step = make_fused_ctc_train_step(
-            self.stats, mcfg.frame_len, tcfg.aug_prob, mcfg.blank_id
-        )
-        eval_step = make_fused_ctc_eval_step(
-            self.stats, mcfg.frame_len, mcfg.blank_id
-        )
+            self.model = ASLTranslationModel(
+                num_classes=tokenizer.vocab_size,
+                feature_dim=mcfg.dim,
+                num_heads=mcfg.num_heads,
+                dropout=mcfg.dropout,
+            )
+            x0 = jnp.zeros((1, mcfg.frame_len, 92, 3), jnp.float32)
+            m0 = jnp.ones((1, mcfg.frame_len), bool)
+            t0 = jnp.zeros((1, 4), jnp.int32)
+            variables = self.model.init(
+                jax.random.key(tcfg.seed), x0, m0, t0)
+            self.state = TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=variables["params"],
+                slow_params=jax.tree_util.tree_map(
+                    jnp.array, variables["params"]),
+                batch_stats=variables.get("batch_stats", {}),
+                opt_state=tx.init(variables["params"]),
+                tx=tx, apply_fn=self.model.apply,
+                lookahead_sync_period=lookahead,
+            )
+            train_step = make_fused_translation_train_step(
+                self.stats, mcfg.frame_len, tcfg.aug_prob,
+                pad_idx=tokenizer.pad_token, eos_idx=tokenizer.eos_token,
+            )
+            eval_step = make_fused_translation_eval_step(
+                self.stats, mcfg.frame_len, self.model,
+                pad_idx=tokenizer.pad_token, eos_idx=tokenizer.eos_token,
+            )
+        else:
+            raise ValueError(task)
         if mesh is not None:
             rep, bsh = replicated(mesh), batch_sharding(mesh)
             self.state = jax.device_put(self.state, rep)

@@ -27,6 +27,69 @@ def token_lengths(ids: jnp.ndarray, eos: int, pad: int) -> jnp.ndarray:
     return jnp.where(has, idx, ids.shape[-1]).astype(jnp.int32)
 
 
+def make_fused_translation_train_step(
+    stats, frame_len: int, aug_prob: float = 0.2,
+    pad_idx: int = 0, eos_idx: int = 2, conf_weight: float = 0.1,
+):
+    """Raw-batch translation step: augment + preprocess fused on device, the
+    flat [T, 276] output regrouped to [T, 92, 3] (the concat order is
+    landmark-major, so a reshape recovers the grouped layout)."""
+    from ..preprocess.augment import augment
+    from ..preprocess.pipeline import frame_mask, preprocess
+
+    base = make_translation_train_step(pad_idx, eos_idx, conf_weight)
+
+    def step(state: TrainState, batch: dict, rng: jax.Array):
+        prep_rng = jax.random.fold_in(jax.random.fold_in(rng, 7), state.step)
+        keys = jax.random.split(prep_rng, batch["raw"].shape[0])
+
+        def prep(key, raw, length):
+            raw, length = augment(key, raw, length, prob=aug_prob)
+            return preprocess(raw, length, stats, frame_len)
+
+        flat = jax.vmap(prep)(keys, batch["raw"], batch["lengths"])
+        mask = frame_mask(flat)
+        B, T, _ = flat.shape
+        inner = {"x": flat.reshape(B, T, 92, 3), "mask": mask,
+                 "tokens": batch["labels"]}
+        return base(state, inner, rng)
+
+    return step
+
+
+def make_fused_translation_eval_step(stats, frame_len: int, model,
+                                     max_len: int = 64,
+                                     pad_idx: int = 0, eos_idx: int = 2):
+    """Preprocess -> encoder once -> AR greedy decode, one program."""
+    from ..decode.autoregressive import greedy_translate
+    from ..preprocess.pipeline import frame_mask, preprocess
+
+    def step(state: TrainState, batch: dict):
+        flat = jax.vmap(
+            lambda r, l: preprocess(r, l, stats, frame_len)
+        )(batch["raw"], batch["lengths"])
+        mask = frame_mask(flat)
+        B, T, _ = flat.shape
+        x = flat.reshape(B, T, 92, 3)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        tokens, confidence = greedy_translate(
+            model, variables, x, mask, max_len=max_len, eos=eos_idx,
+            pad=pad_idx)
+        pred, _ = model.apply(variables, x, mask, batch["labels"][:, :-1],
+                              training=False)
+        tgt_out = batch["labels"][:, 1:]
+        valid = tgt_out != pad_idx
+        logp = jax.nn.log_softmax(pred, axis=-1)
+        nll = -jnp.take_along_axis(logp, tgt_out[..., None], axis=-1)[..., 0]
+        loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+        counts = jnp.full((tokens.shape[0],), tokens.shape[1], jnp.int32)
+        return {"loss": loss, "ids": tokens, "counts": counts,
+                "confidence": confidence}
+
+    return step
+
+
 def make_translation_train_step(pad_idx: int = 0, eos_idx: int = 2,
                                 conf_weight: float = 0.1):
     def step(state: TrainState, batch: dict, rng: jax.Array):
