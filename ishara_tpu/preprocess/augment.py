@@ -52,6 +52,21 @@ def time_warp(
     )
 
 
+def time_shift(
+    key: jax.Array, x: jnp.ndarray, length: jnp.ndarray,
+    max_shift: int = 10,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Shift the sequence by up to ±max_shift frames (data_loader.py:130-136
+    'Random shift along time axis'). Expressed as a random crop so the
+    valid-prefix contract of the pipeline holds: positive shift drops leading
+    frames, negative drops trailing ones."""
+    shift = jax.random.randint(key, (), -max_shift, max_shift + 1)
+    start = jnp.maximum(shift, 0)
+    out = jnp.roll(x, -start, axis=0)
+    new_len = jnp.clip(length - jnp.abs(shift), 1, x.shape[0])
+    return out, new_len
+
+
 def _xyz_views(x: jnp.ndarray):
     n = lm.N_LANDMARKS
     return x[:, :n], x[:, n : 2 * n], x[:, 2 * n :]
@@ -142,8 +157,13 @@ def augment(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Composite augmentation applied with the reference's 20% gate for the
     warp plus independent gates for the rest."""
-    k_warp, k_aff, k_affp, k_tm, k_tmp, k_flip, k_fd, k_fdp = jax.random.split(key, 8)
+    (k_warp, k_aff, k_affp, k_tm, k_tmp, k_flip, k_fd, k_fdp,
+     k_sh, k_shp) = jax.random.split(key, 10)
     x, length = time_warp(k_warp, x, length, prob=prob)
+    shifted, shifted_len = time_shift(k_sh, x, length)
+    do_shift = jax.random.uniform(k_shp) < prob
+    x = jnp.where(do_shift, shifted, x)
+    length = jnp.where(do_shift, shifted_len, length)
     x = jnp.where(jax.random.uniform(k_affp) < prob, spatial_affine(k_aff, x), x)
     x = jnp.where(jax.random.uniform(k_tmp) < prob, temporal_mask(k_tm, x, length), x)
     x = jnp.where(
