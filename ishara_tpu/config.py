@@ -130,10 +130,13 @@ def baseline_config(index: int) -> IsharaConfig:
                                 num_squeeze_blocks=4, num_conform_blocks=4,
                                 dropout=0.4, top_mult=1),
         ),
+        # measured on v5e: f32 beats bf16 for BOTH training (8x) and batch-1
+        # serving on this model size — conversions break XLA fusions; bf16
+        # stays available via EncoderConfig(dtype="bfloat16")
         5: IsharaConfig(
             model=EncoderConfig(variant="hybrid", dim=256,
                                 num_squeeze_blocks=4, num_conform_blocks=4,
-                                dropout=0.4, top_mult=1, dtype="bfloat16"),
+                                dropout=0.4, top_mult=1, dtype="float32"),
         ),
     }
     return cfgs[index]
