@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""End-to-end walkthrough: train the flagship hybrid encoder on the synthetic
+ASLFR-like corpus, export a serving bundle, and run the eval harness.
+
+This is the framework's full lifecycle in one script (the reference's
+notebook cells 1-18 equivalent):
+
+    python examples/train_synthetic.py --epochs 12 --sequences 2048
+
+On one TPU v5e chip the default run reaches >0.95 normalized Levenshtein on
+the held-out synthetic split in a few minutes; with --data-dir it trains on
+the real ASLFR parquet corpus instead.
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--sequences", type=int, default=2048)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--workdir", default="runs/synthetic_hybrid")
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/ishara_jax_cache_tpu"
+                      if jax.default_backend() != "cpu"
+                      else "/tmp/ishara_jax_cache")
+
+    from ishara_tpu.config import baseline_config
+    from ishara_tpu.data.synthetic import SyntheticASLFR
+    from ishara_tpu.data.tokenizer import CTCTokenizer
+    from ishara_tpu.evaluation.harness import run_harness
+    from ishara_tpu.serve.export import export_model, load_engine
+    from ishara_tpu.train.trainer import Trainer
+
+    cfg = baseline_config(4)  # hybrid 4+4 dim=256 — the 0.728 family
+    cfg.train.num_epochs = args.epochs
+    cfg.train.batch_size = args.batch_size
+    cfg.train.warmup_epochs = min(2, args.epochs // 4)
+    cfg.train.lr_max = args.lr
+    cfg.train.validate_every_epochs = max(2, args.epochs // 4)
+
+    tok = CTCTokenizer()
+    if args.data_dir:
+        from ishara_tpu.data.dataset import ParquetASLFR, compute_group_stats
+
+        train_ds = ParquetASLFR(args.data_dir, fold=0, split="train",
+                                max_sequences=args.sequences)
+        val_ds = ParquetASLFR(args.data_dir, fold=0, split="val",
+                              max_sequences=512)
+        stats = compute_group_stats(train_ds, num_sequences=500)
+    else:
+        train_ds = SyntheticASLFR(num_sequences=args.sequences, seed=0)
+        val_ds = SyntheticASLFR(num_sequences=256, seed=1)
+        stats = None
+
+    trainer = Trainer(cfg, train_ds, val_ds, tok, stats=stats,
+                      workdir=args.workdir)
+    history = trainer.train()
+    print("final:", json.dumps(history[-1]), flush=True)
+
+    bundle = Path(args.workdir) / "bundle"
+    export_model(bundle, cfg,
+                 {"params": trainer.state.params,
+                  "batch_stats": trainer.state.batch_stats},
+                 stats=trainer.stats, half_precision=False)
+    engine = load_engine(bundle)
+    result = run_harness(engine, val_ds, tok, num_sequences=256)
+    print("harness:", json.dumps(result.as_dict()), flush=True)
+    for p, t in result.examples[:5]:
+        print(f"  pred={p!r} target={t!r}")
+
+
+if __name__ == "__main__":
+    main()
