@@ -27,7 +27,11 @@ def main():
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--workdir", default="runs/synthetic_hybrid")
     ap.add_argument("--data-dir", default=None)
-    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--dropout", type=float, default=0.2)
+    ap.add_argument("--max-raw-frames", type=int, default=96,
+                    help="host->device transfer buffer; keep tight on "
+                         "bandwidth-limited hosts")
     args = ap.parse_args()
 
     import jax
@@ -45,6 +49,8 @@ def main():
     from ishara_tpu.train.trainer import Trainer
 
     cfg = baseline_config(4)  # hybrid 4+4 dim=256 — the 0.728 family
+    cfg.model.dropout = args.dropout
+    cfg.model.top_dropout = args.dropout
     cfg.train.num_epochs = args.epochs
     cfg.train.batch_size = args.batch_size
     cfg.train.warmup_epochs = min(2, args.epochs // 4)
@@ -66,7 +72,8 @@ def main():
         stats = None
 
     trainer = Trainer(cfg, train_ds, val_ds, tok, stats=stats,
-                      workdir=args.workdir)
+                      workdir=args.workdir,
+                      max_raw_frames=args.max_raw_frames)
     history = trainer.train()
     print("final:", json.dumps(history[-1]), flush=True)
 
@@ -75,7 +82,7 @@ def main():
                  {"params": trainer.state.params,
                   "batch_stats": trainer.state.batch_stats},
                  stats=trainer.stats, half_precision=False)
-    engine = load_engine(bundle)
+    engine = load_engine(bundle, max_raw_frames=args.max_raw_frames)
     result = run_harness(engine, val_ds, tok, num_sequences=256)
     print("harness:", json.dumps(result.as_dict()), flush=True)
     for p, t in result.examples[:5]:

@@ -87,3 +87,48 @@ class InferenceEngine:
     def predict_text(self, raw_frames: np.ndarray, tokenizer) -> str:
         ids, count = self(raw_frames)
         return tokenizer.decode(ids[:count])
+
+
+class BatchedEngine:
+    """Fixed-batch serving engine for throughput-oriented deployment: the
+    same fused program as :class:`InferenceEngine`, vmapped over a static
+    batch (the reference's TFLite path is strictly batch-1; this is the
+    production-batching extension)."""
+
+    def __init__(self, model, variables, batch_size: int = 8,
+                 stats: GroupStats | None = None, max_raw_frames: int = 384,
+                 max_out: int = lm.MAX_PHRASE_LENGTH):
+        self.batch_size = batch_size
+        self.max_raw_frames = max_raw_frames
+        self.max_out = max_out
+        self.variables = variables
+        stats = stats or GroupStats.identity()
+        frame_len = model.cfg.frame_len
+
+        def one(variables, raw, length):
+            x = preprocess(raw, length, stats, frame_len, thin=True)
+            logits = model.apply(variables, x[None], training=False)[0]
+            return greedy_decode(logits, max_len=max_out)
+
+        def program(variables, raws, lengths):
+            return jax.vmap(lambda r, l: one(variables, r, l))(raws, lengths)
+
+        shape = jax.ShapeDtypeStruct(
+            (batch_size, max_raw_frames, lm.N_COLS), jnp.float32)
+        lshape = jax.ShapeDtypeStruct((batch_size,), jnp.int32)
+        self._compiled = (
+            jax.jit(program).lower(variables, shape, lshape).compile()
+        )
+
+    def __call__(self, sequences: list[np.ndarray]):
+        """list of [T_i, 276] arrays (<= batch_size) -> (ids [B, max_out],
+        counts [B]) for the first len(sequences) rows."""
+        B = self.batch_size
+        bufs = np.zeros((B, self.max_raw_frames, lm.N_COLS), np.float32)
+        lens = np.ones((B,), np.int32)
+        for i, s in enumerate(sequences[:B]):
+            n = min(s.shape[0], self.max_raw_frames)
+            bufs[i, :n] = s[:n]
+            lens[i] = max(n, 1)
+        ids, counts = self._compiled(self.variables, bufs, lens)
+        return np.asarray(ids), np.asarray(counts)

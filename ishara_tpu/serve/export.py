@@ -100,3 +100,46 @@ def load_engine(directory: str | Path, **engine_kwargs):
     config, variables, stats = load_bundle(directory)
     model = IsharaEncoder(config.model)
     return InferenceEngine(model, variables, stats=stats, **engine_kwargs)
+
+
+def export_serving_program(directory: str | Path, engine) -> Path:
+    """Serialize the fused serving program as a StableHLO artifact
+    (jax.export) — the true analogue of the reference's .tflite flatbuffer:
+    a self-contained program that reloads without retracing Python. The
+    artifact is platform-tagged; loading on a different platform falls back
+    to ``load_engine`` recompilation."""
+    import jax
+    from jax import export as jexport
+
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    shape = jax.ShapeDtypeStruct(
+        (engine.max_raw_frames, 276), jnp.float32)
+    lshape = jax.ShapeDtypeStruct((), jnp.int32)
+    exported = jexport.export(jax.jit(engine.program_fn()))(
+        engine.variables, shape, lshape)
+    (directory / "serving_program.bin").write_bytes(exported.serialize())
+    (directory / "serving_program.json").write_text(json.dumps({
+        "platforms": list(exported.platforms),
+        "max_raw_frames": engine.max_raw_frames,
+    }))
+    return directory
+
+
+def load_serving_program(directory: str | Path):
+    """-> callable(variables, raw [max_raw_frames, 276], length) from the
+    serialized StableHLO artifact; raises if the current platform doesn't
+    match (caller should fall back to load_engine)."""
+    import jax
+    from jax import export as jexport
+
+    directory = Path(directory)
+    meta = json.loads((directory / "serving_program.json").read_text())
+    plat = jax.devices()[0].platform
+    canon = {"axon": "tpu"}.get(plat, plat)
+    if canon not in meta["platforms"]:
+        raise RuntimeError(
+            f"serialized for {meta['platforms']}, running on {canon}")
+    exported = jexport.deserialize(
+        (directory / "serving_program.bin").read_bytes())
+    return exported.call

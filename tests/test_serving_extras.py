@@ -1,0 +1,56 @@
+"""BatchedEngine and StableHLO program serialization round-trip (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ishara_tpu.config import EncoderConfig
+from ishara_tpu.data.synthetic import SyntheticASLFR
+from ishara_tpu.models.encoder import IsharaEncoder
+from ishara_tpu.serve.engine import BatchedEngine, InferenceEngine
+from ishara_tpu.serve.export import (
+    export_serving_program,
+    load_serving_program,
+)
+
+
+@pytest.fixture(scope="module")
+def model_vars():
+    cfg = EncoderConfig(dim=64, variant="squeezeformer", num_squeeze_blocks=1,
+                        num_heads=4, frame_len=32, dropout=0.0)
+    model = IsharaEncoder(cfg)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 276)))
+    return model, variables
+
+
+def test_batched_engine_matches_single(model_vars):
+    model, variables = model_vars
+    single = InferenceEngine(model, variables, max_raw_frames=64)
+    batched = BatchedEngine(model, variables, batch_size=4, max_raw_frames=64)
+    ds = SyntheticASLFR(num_sequences=4, frames_per_char=4, min_phrase=2,
+                        max_phrase=3)
+    seqs = [ds.render(i)[0] for i in range(4)]
+    ids_b, counts_b = batched(seqs)
+    for i, s in enumerate(seqs):
+        ids_s, count_s = single(s)
+        assert counts_b[i] == count_s
+        np.testing.assert_array_equal(ids_b[i][:count_s], ids_s[:count_s])
+
+
+def test_stablehlo_roundtrip(model_vars, tmp_path):
+    model, variables = model_vars
+    engine = InferenceEngine(model, variables, max_raw_frames=64)
+    export_serving_program(tmp_path, engine)
+    assert (tmp_path / "serving_program.bin").exists()
+    call = load_serving_program(tmp_path)
+
+    ds = SyntheticASLFR(num_sequences=2, frames_per_char=4)
+    s = ds.render(0)[0]
+    buf = np.zeros((64, 276), np.float32)
+    n = min(len(s), 64)
+    buf[:n] = s[:n]
+    ids1, c1 = call(engine.variables, jnp.asarray(buf), jnp.int32(n))
+    ids2, c2 = engine(s)
+    assert int(c1) == int(c2)
+    np.testing.assert_array_equal(np.asarray(ids1), ids2)
