@@ -74,7 +74,6 @@ def cmd_train(args):
 def cmd_export(args):
     from .config import IsharaConfig
     from .models.encoder import IsharaEncoder
-    from .preprocess.pipeline import GroupStats
     from .serve.export import export_model
     from .train.checkpoint import CheckpointManager
     from .train.optim import make_optimizer

@@ -11,7 +11,6 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..data.landmarks import MAX_PHRASE_LENGTH
 from .metrics import normalized_levenshtein
 
 

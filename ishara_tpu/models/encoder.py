@@ -11,7 +11,7 @@ from flax import linen as nn
 from ..config import EncoderConfig
 from ..preprocess.pipeline import frame_mask
 from .blocks import Conv1DBlock, ConformerBlock, SqueezeformerBlock, TransformerBlock
-from .layers import BN_EPS, BN_MOMENTUM, RowDropout, positional_encoding
+from .layers import BN_EPS, BN_MOMENTUM, positional_encoding
 
 
 class IsharaEncoder(nn.Module):

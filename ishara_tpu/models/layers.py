@@ -20,8 +20,6 @@ reference's cross-replica TPUStrategy behavior without explicit collectives.
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

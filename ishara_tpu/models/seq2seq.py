@@ -22,8 +22,6 @@ semantics are what carries.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from ..data import landmarks as lm
-from .pipeline import resample_or_pad
 
 
 def time_warp(

@@ -10,10 +10,6 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Any
-
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 

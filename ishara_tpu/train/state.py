@@ -12,7 +12,6 @@ cross-replica BatchNorm mean (GSPMD global-batch reduction).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax

@@ -8,8 +8,6 @@ wavefront edit-distance kernel instead of a per-batch host sync.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax

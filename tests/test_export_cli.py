@@ -9,12 +9,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from ishara_tpu.config import EncoderConfig, IsharaConfig, TrainConfig
+from ishara_tpu.config import EncoderConfig, IsharaConfig
 from ishara_tpu.data.synthetic import SyntheticASLFR
 from ishara_tpu.data.tokenizer import CTCTokenizer
 from ishara_tpu.evaluation.harness import run_harness
 from ishara_tpu.models.encoder import IsharaEncoder
-from ishara_tpu.serve.engine import InferenceEngine
 from ishara_tpu.serve.export import export_model, load_bundle, load_engine
 
 

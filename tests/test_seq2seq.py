@@ -8,7 +8,7 @@ import numpy as np
 from ishara_tpu.data.tokenizer import Seq2SeqTokenizer
 from ishara_tpu.decode.autoregressive import greedy_translate
 from ishara_tpu.evaluation.metrics import levenshtein
-from ishara_tpu.models.seq2seq import ASLTranslationModel, translation_loss
+from ishara_tpu.models.seq2seq import ASLTranslationModel
 from ishara_tpu.ops.levenshtein import batched_edit_distance, normalized_similarity
 from ishara_tpu.train import TrainState
 from ishara_tpu.train.translation import make_translation_train_step, token_lengths
