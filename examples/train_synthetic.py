@@ -67,8 +67,9 @@ def main():
                               max_sequences=512)
         stats = compute_group_stats(train_ds, num_sequences=500)
     else:
-        train_ds = SyntheticASLFR(num_sequences=args.sequences, seed=0)
-        val_ds = SyntheticASLFR(num_sequences=256, seed=1)
+        train_ds = SyntheticASLFR(num_sequences=args.sequences, seed=0,
+                                  proto_seed=7)
+        val_ds = SyntheticASLFR(num_sequences=256, seed=1, proto_seed=7)
         stats = None
 
     trainer = Trainer(cfg, train_ds, val_ds, tok, stats=stats,

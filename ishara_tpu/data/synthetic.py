@@ -29,18 +29,24 @@ class SyntheticASLFR:
         noise: float = 0.05,
         nan_frac: float = 0.05,
         charset: str = ASLFR_CHARS.strip() or ASLFR_CHARS,
+        proto_seed: int | None = None,
     ):
+        """``seed`` draws the phrases (and, unless ``proto_seed`` is given,
+        the character prototypes). Train/val splits of the same task must
+        share ``proto_seed`` and differ in ``seed`` — different prototype
+        tables are different languages."""
         self.num_sequences = num_sequences
         self.frames_per_char = frames_per_char
         self.noise = noise
         self.nan_frac = nan_frac
         self.charset = charset
-        root = np.random.default_rng(seed)
+        root = np.random.default_rng(seed if proto_seed is None else proto_seed)
         # one prototype frame (all 276 features) per character
         self.prototypes = {
             c: root.standard_normal(lm.N_COLS).astype(np.float32) * 0.5 + 0.5
             for c in charset
         }
+        self._seed = seed
         self._phrase_rng = np.random.default_rng(seed + 1)
         self.phrases = [
             "".join(
@@ -56,7 +62,8 @@ class SyntheticASLFR:
     def render(self, idx: int) -> tuple[np.ndarray, str]:
         """-> ([T, 276] float32 with NaNs, phrase)."""
         phrase = self.phrases[idx % self.num_sequences]
-        rng = np.random.default_rng(hash(("seq", idx)) % (2**32))
+        # stable per-(seed, idx) stream — python hash() is process-salted
+        rng = np.random.default_rng((self._seed * 1_000_003 + idx) % (2**32))
         frames = []
         for c in phrase:
             proto = self.prototypes[c]
