@@ -240,6 +240,21 @@ class Trainer:
         rng = jax.random.key(tcfg.seed)
         if self.mesh is not None:
             rng = jax.device_put(rng, replicated(self.mesh))
+
+        # Preemption safety: SIGTERM triggers a checkpoint before exit (the
+        # reference only covers KeyboardInterrupt via finally:, and TPU pods
+        # are preempted with SIGTERM).
+        import signal
+
+        def _on_term(signum, frame):
+            self.ckpt.save(int(self.state.step), self.state, wait=True)
+            raise SystemExit(143)
+
+        prev_handler = None
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:
+            pass  # not the main thread
         try:
             for epoch in range(num_epochs):
                 t0 = time.time()
@@ -264,6 +279,8 @@ class Trainer:
         finally:
             # reference parity: a final checkpoint is always written
             self.ckpt.save(int(self.state.step), self.state, wait=True)
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
         return self.history
 
     def resume(self) -> bool:

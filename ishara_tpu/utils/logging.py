@@ -34,6 +34,16 @@ class MetricLogger:
                         "ISHARA_WANDB_PROJECT", "ishara-tpu"))
             except Exception:
                 self._wandb = None
+        # Optional TensorBoard sink (nb4 parity): ISHARA_TENSORBOARD=1
+        self._tb = None
+        if os.environ.get("ISHARA_TENSORBOARD") == "1" and workdir is not None:
+            try:
+                from flax.metrics import tensorboard  # noqa: PLC0415
+
+                self._tb = tensorboard.SummaryWriter(
+                    str(Path(workdir) / "tb"))
+            except Exception:
+                self._tb = None
         self._n = 0
 
     def log(self, metrics: dict, step: int | None = None) -> None:
@@ -45,6 +55,10 @@ class MetricLogger:
             self._file.flush()
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
+        if self._tb is not None and step is not None:
+            for k, v in metrics.items():
+                if isinstance(v, (int, float)):
+                    self._tb.scalar(k, v, step)
         self._n += 1
         if self._n % self.print_every == 0 or "val_score" in metrics:
             parts = " ".join(
