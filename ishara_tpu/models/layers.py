@@ -114,11 +114,10 @@ class MultiHeadSelfAttention(nn.Module):
     Score scale is ``dim**-0.5`` over the full model dim — a reference quirk
     (nb cell 5 ``MultiHeadSelfAttention.scale``) kept for weight parity.
 
-    When attention dropout is inactive (rate 0 or deterministic) the scores/
-    softmax/value contraction run as the fused Pallas flash kernel
-    (:func:`ishara_tpu.ops.attention.flash_mhsa`); with attention dropout
-    active it falls back to the einsum path so the dropout mask stays under
-    flax RNG. ``use_flash`` defaults to False: at this model size (T=176, Dh=32) XLA's
+    With ``use_flash`` the scores/softmax/value contraction run as the fused
+    Pallas flash kernel (:func:`ishara_tpu.ops.attention.flash_mhsa`),
+    including in-kernel attention dropout seeded from the flax RNG.
+    ``use_flash`` defaults to False: at this model size (T=176, Dh=32) XLA's
     batched einsum measured faster on v5e; the kernel is the path for longer
     FRAME_LEN / future context-parallel sharding (SURVEY.md §5 long-context).
     """
@@ -141,13 +140,22 @@ class MultiHeadSelfAttention(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         scale = self.dim ** -0.5
 
-        flash_ok = self.use_flash and (deterministic or self.dropout == 0.0)
-        if flash_ok:
+        rate = 0.0 if deterministic else self.dropout
+        # in-kernel dropout needs the TPU PRNG; interpret mode (CPU tests)
+        # falls back to einsum when dropout is active
+        if self.use_flash and (_on_tpu() or rate == 0.0):
             bias = (
                 jnp.where(mask, 0.0, NEG).astype(jnp.float32)
                 if mask is not None else jnp.zeros((B, T), jnp.float32)
             )
-            out = flash_mhsa(q, k, v, bias, scale, not _on_tpu())
+            seed = None
+            if rate > 0.0:
+                import jax as _jax
+
+                seed = _jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, 2**31 - 1, jnp.int32)
+            out = flash_mhsa(q, k, v, bias, seed, scale=scale,
+                             interpret=not _on_tpu(), dropout_rate=rate)
         else:
             attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
             if mask is not None:

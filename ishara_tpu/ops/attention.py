@@ -46,8 +46,21 @@ def _aTb(a, b):  # [T, S] x [T, D] -> [S, D]
     )
 
 
-def _fwd_kernel(scale, H, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref):
+def _keep_mask(seed_ref, b, h, shape, rate):
+    """Deterministic per-(batch, head) dropout keep-mask from the TPU PRNG —
+    regenerated identically in the backward kernel."""
+    from jax.experimental.pallas import tpu as _pltpu
+
+    _pltpu.prng_seed(seed_ref[0] + b * 131071 + h * 8191)
+    bits = _pltpu.prng_random_bits(shape)
+    threshold = jnp.uint32(int(rate * (2 ** 32)))
+    return (pltpu.bitcast(bits, jnp.uint32) >= threshold).astype(jnp.float32)
+
+
+def _fwd_kernel(scale, H, dropout_rate, q_ref, k_ref, v_ref, bias_ref,
+                seed_ref, o_ref, lse_ref):
     bias = bias_ref[0]  # [1, T] -> broadcasts over score rows
+    b = pl.program_id(0)
     for h in range(H):
         q = q_ref[0, h].astype(jnp.float32)
         k = k_ref[0, h].astype(jnp.float32)
@@ -56,14 +69,22 @@ def _fwd_kernel(scale, H, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref):
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p, v, preferred_element_type=jnp.float32) / l
+        if dropout_rate > 0.0:
+            # dropout on the normalized weights (reference semantics):
+            # o = (M ∘ P/l) v / keep, with l from the undropped weights
+            keep = _keep_mask(seed_ref, b, h, p.shape, dropout_rate)
+            p_used = p * keep / (1.0 - dropout_rate)
+        else:
+            p_used = p
+        o = jnp.dot(p_used, v, preferred_element_type=jnp.float32) / l
         o_ref[0, h] = o.astype(o_ref.dtype)
         lse_ref[0, h] = (m + jnp.log(l))[:, 0]
 
 
-def _bwd_kernel(scale, H, q_ref, k_ref, v_ref, bias_ref, o_ref, do_ref,
-                lse_ref, dq_ref, dk_ref, dv_ref):
+def _bwd_kernel(scale, H, dropout_rate, q_ref, k_ref, v_ref, bias_ref,
+                seed_ref, o_ref, do_ref, lse_ref, dq_ref, dk_ref, dv_ref):
     bias = bias_ref[0]
+    b = pl.program_id(0)
     for h in range(H):
         q = q_ref[0, h].astype(jnp.float32)
         k = k_ref[0, h].astype(jnp.float32)
@@ -72,9 +93,18 @@ def _bwd_kernel(scale, H, q_ref, k_ref, v_ref, bias_ref, o_ref, do_ref,
         do = do_ref[0, h].astype(jnp.float32)
         lse = lse_ref[0, h]
         s = _qkT(q, k) * scale + bias
-        p = jnp.exp(s - lse[:, None])
-        dv = _aTb(p, do)
+        p = jnp.exp(s - lse[:, None])  # normalized probabilities P̂
         dp = _qkT(do, v)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(seed_ref, b, h, p.shape, dropout_rate)
+            scale_keep = keep / (1.0 - dropout_rate)
+            dv = _aTb(p * scale_keep, do)
+            dp = dp * scale_keep
+        else:
+            dv = _aTb(p, do)
+        # delta_i = dO_i · O_i = Σ_k P̂_ik M_ik (dO_i·V_k) — holds with or
+        # without the dropout mask, so the softmax backward is unchanged:
+        # dS = P̂ ∘ (M∘dP − delta)
         delta = jnp.sum(do * o, axis=-1, keepdims=True)
         ds = p * (dp - delta)
         dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
@@ -91,46 +121,54 @@ def _specs(B, H, T, Dh):
                         memory_space=pltpu.VMEM)
     lse = pl.BlockSpec((1, H, T), lambda b: (b, 0, 0),
                        memory_space=pltpu.VMEM)
-    return qkv, bias, lse
+    seed = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return qkv, bias, lse, seed
 
 
-def _fwd_call(q, k, v, bias, scale, interpret):
+def _fwd_call(q, k, v, bias, seed, scale, interpret, dropout_rate):
     B, H, T, Dh = q.shape
-    qkv, bspec, lspec = _specs(B, H, T, Dh)
+    qkv, bspec, lspec, sspec = _specs(B, H, T, Dh)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, scale, H),
+        functools.partial(_fwd_kernel, scale, H, dropout_rate),
         grid=(B,),
-        in_specs=[qkv, qkv, qkv, bspec],
+        in_specs=[qkv, qkv, qkv, bspec, sspec],
         out_specs=[qkv, lspec],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, T, Dh), q.dtype),
             jax.ShapeDtypeStruct((B, H, T), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, bias[:, None, :])
+    )(q, k, v, bias[:, None, :], seed)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def flash_mhsa(q, k, v, bias, scale, interpret=False):
-    """q, k, v: [B, H, T, Dh]; bias: [B, T] additive key bias (0 or -1e30).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def flash_mhsa(q, k, v, bias, seed=None, scale=1.0, interpret=False,
+               dropout_rate=0.0):
+    """q, k, v: [B, H, T, Dh]; bias: [B, T] additive key bias (0 or -1e30);
+    ``seed``: int32 [1] array driving in-kernel attention dropout when
+    ``dropout_rate`` > 0 (regenerated identically in the backward pass).
     Returns [B, H, T, Dh]."""
-    o, _ = _fwd_call(q, k, v, bias, scale, interpret)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    o, _ = _fwd_call(q, k, v, bias, seed, scale, interpret, dropout_rate)
     return o
 
 
-def _vjp_fwd(q, k, v, bias, scale, interpret):
-    o, lse = _fwd_call(q, k, v, bias, scale, interpret)
-    return o, (q, k, v, bias, o, lse)
+def _vjp_fwd(q, k, v, bias, seed, scale, interpret, dropout_rate):
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    o, lse = _fwd_call(q, k, v, bias, seed, scale, interpret, dropout_rate)
+    return o, (q, k, v, bias, seed, o, lse)
 
 
-def _vjp_bwd(scale, interpret, res, do):
-    q, k, v, bias, o, lse = res
+def _vjp_bwd(scale, interpret, dropout_rate, res, do):
+    q, k, v, bias, seed, o, lse = res
     B, H, T, Dh = q.shape
-    qkv, bspec, lspec = _specs(B, H, T, Dh)
+    qkv, bspec, lspec, sspec = _specs(B, H, T, Dh)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale, H),
+        functools.partial(_bwd_kernel, scale, H, dropout_rate),
         grid=(B,),
-        in_specs=[qkv, qkv, qkv, bspec, qkv, qkv, lspec],
+        in_specs=[qkv, qkv, qkv, bspec, sspec, qkv, qkv, lspec],
         out_specs=[qkv, qkv, qkv],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, T, Dh), q.dtype),
@@ -138,8 +176,8 @@ def _vjp_bwd(scale, interpret, res, do):
             jax.ShapeDtypeStruct((B, H, T, Dh), q.dtype),
         ],
         interpret=interpret,
-    )(q, k, v, bias[:, None, :], o, do, lse)
-    return dq, dk, dv, None
+    )(q, k, v, bias[:, None, :], seed, o, do, lse)
+    return dq, dk, dv, None, None
 
 
 flash_mhsa.defvjp(_vjp_fwd, _vjp_bwd)

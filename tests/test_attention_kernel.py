@@ -22,7 +22,7 @@ def qkvb(rng=None):
 
 def test_forward_matches_reference(qkvb):
     q, k, v, bias = qkvb
-    got = flash_mhsa(q, k, v, bias, SCALE, True)
+    got = flash_mhsa(q, k, v, bias, scale=SCALE, interpret=True)
     want = reference_mhsa(q, k, v, bias, SCALE)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
@@ -32,7 +32,7 @@ def test_backward_matches_reference(qkvb):
     q, k, v, bias = qkvb
 
     def loss_flash(q, k, v):
-        return jnp.sum(flash_mhsa(q, k, v, bias, SCALE, True) ** 2)
+        return jnp.sum(flash_mhsa(q, k, v, bias, scale=SCALE, interpret=True) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(reference_mhsa(q, k, v, bias, SCALE) ** 2)
@@ -48,5 +48,5 @@ def test_fully_masked_batch_is_finite():
     r = np.random.default_rng(1)
     q = k = v = jnp.asarray(r.standard_normal((1, 1, 8, 8)).astype(np.float32))
     bias = mask_to_bias(jnp.zeros((1, 8), bool))  # everything masked
-    out = flash_mhsa(q, k, v, bias, 0.125, True)
+    out = flash_mhsa(q, k, v, bias, scale=0.125, interpret=True)
     assert np.isfinite(np.asarray(out)).all()
