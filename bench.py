@@ -54,6 +54,11 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log("devices:", jax.devices())
 
+    profile_dir = None
+    if "--profile" in sys.argv:
+        profile_dir = "/tmp/ishara_trace"
+        log(f"profiling -> {profile_dir} (view in tensorboard/perfetto)")
+
     from ishara_tpu.data.synthetic import SyntheticASLFR
 
     # train throughput first: the host->host latency loop below degrades
@@ -103,6 +108,11 @@ def main():
     dbufs = jax.device_put(jnp.asarray(bufs))
     dlens = jax.device_put(jnp.asarray(lens))
     jax.block_until_ready(looped_c(engine.variables, dbufs, dlens))
+    if profile_dir:
+        from ishara_tpu.utils.profiling import trace
+
+        with trace(profile_dir):
+            jax.block_until_ready(looped_c(engine.variables, dbufs, dlens))
     per_seq = []
     for _ in range(5):
         t = time.perf_counter()

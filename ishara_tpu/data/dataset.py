@@ -38,12 +38,20 @@ class ParquetASLFR:
         preload: bool = False,
         max_sequences: int | None = None,
         cache_files: int = 4,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
+        """``process_index``/``process_count`` shard the corpus across hosts
+        for multi-host pods (each process loads a disjoint slice; the device
+        mesh then shards each host's batch across its local chips)."""
         import pandas as pd
 
         self.data_dir = Path(data_dir)
         self.landmarks_dir = self.data_dir / landmarks_dir
         df = pd.read_csv(self.data_dir / csv_name)
+
+        if process_count is not None and process_count > 1:
+            df = df.iloc[(process_index or 0)::process_count]
 
         if fold is not None:
             # signer-based folds: stable hash of participant_id

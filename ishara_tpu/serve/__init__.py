@@ -1,3 +1,29 @@
-from .engine import FALLBACK_IDS, InferenceEngine
+from .engine import FALLBACK_IDS, BatchedEngine, InferenceEngine
+from .export import (
+    export_model,
+    export_serving_program,
+    load_bundle,
+    load_engine,
+    load_serving_program,
+)
+from .import_weights import (
+    diff_variables,
+    import_by_structure,
+    load_h5_weights,
+    load_tflite_weights,
+)
 
-__all__ = ["FALLBACK_IDS", "InferenceEngine"]
+__all__ = [
+    "FALLBACK_IDS",
+    "BatchedEngine",
+    "InferenceEngine",
+    "export_model",
+    "export_serving_program",
+    "load_bundle",
+    "load_engine",
+    "load_serving_program",
+    "diff_variables",
+    "import_by_structure",
+    "load_h5_weights",
+    "load_tflite_weights",
+]
