@@ -44,6 +44,7 @@ class EncoderConfig:
     num_classes: int = 60
     blank_id: int = 59
     dtype: str = "float32"     # computation dtype; params stay float32
+    remat: bool = False        # jax.checkpoint each block: trade FLOPs for HBM
 
 
 @dataclass

@@ -31,6 +31,19 @@ class IsharaEncoder(nn.Module):
         dtype = jnp.dtype(cfg.dtype)
         mask = frame_mask(x)  # [B, T] — Keras Masking(0.0) contract
 
+        # rematerialization: recompute block activations in the backward pass
+        # instead of storing them (jax.checkpoint) — enables much larger
+        # batches per chip at ~1.3x step FLOPs
+        def maybe_remat(block_cls):
+            # static_argnums=3: the `training` bool (self, x, mask, training)
+            if cfg.remat:
+                return nn.remat(block_cls, static_argnums=(3,))
+            return block_cls
+
+        SqueezeformerBlockR = maybe_remat(SqueezeformerBlock)
+        ConformerBlockR = maybe_remat(ConformerBlock)
+        TransformerBlockR = maybe_remat(TransformerBlock)
+
         x = x.astype(dtype)
         x = nn.Dense(cfg.dim, use_bias=False, dtype=dtype, name="stem_conv")(x)
         pe = positional_encoding(cfg.frame_len, cfg.dim)[: x.shape[1]]
@@ -49,38 +62,36 @@ class IsharaEncoder(nn.Module):
         v = cfg.variant
         if v in ("squeezeformer", "hybrid"):
             for i in range(cfg.num_squeeze_blocks):
-                x = SqueezeformerBlock(
+                x = SqueezeformerBlockR(
                     cfg.dim, cfg.num_heads, cfg.expansion_factor,
                     cfg.transformer_kernel_size, cfg.dropout, dtype=dtype,
-                    name=f"squeezeformer_{i}")(x, mask=mask, training=training)
+                    name=f"squeezeformer_{i}")(x, mask, training)
         if v in ("conformer", "hybrid"):
             for i in range(cfg.num_conform_blocks):
-                x = ConformerBlock(
+                x = ConformerBlockR(
                     cfg.dim, cfg.num_heads, cfg.expansion_factor,
                     cfg.transformer_kernel_size, cfg.dropout, cfg.dropout,
-                    dtype=dtype, name=f"conformer_{i}")(x, mask=mask,
-                                                        training=training)
+                    dtype=dtype, name=f"conformer_{i}")(x, mask, training)
         if v == "conv_hybrid":
             for i in range(cfg.num_squeeze_blocks):
                 x = conv_stack(x, f"squeeze{i}")
-                x = SqueezeformerBlock(
+                x = SqueezeformerBlockR(
                     cfg.dim, cfg.num_heads, cfg.expansion_factor,
                     cfg.transformer_kernel_size, cfg.dropout, dtype=dtype,
-                    name=f"squeezeformer_{i}")(x, mask=mask, training=training)
+                    name=f"squeezeformer_{i}")(x, mask, training)
             for i in range(cfg.num_conform_blocks):
                 x = conv_stack(x, f"conform{i}")
-                x = ConformerBlock(
+                x = ConformerBlockR(
                     cfg.dim, cfg.num_heads, cfg.expansion_factor,
                     cfg.transformer_kernel_size, cfg.dropout, cfg.dropout,
-                    dtype=dtype, name=f"conformer_{i}")(x, mask=mask,
-                                                        training=training)
+                    dtype=dtype, name=f"conformer_{i}")(x, mask, training)
         if v == "conv_transformer":
             for i in range(cfg.num_squeeze_blocks):
                 x = conv_stack(x, f"t{i}")
-                x = TransformerBlock(
+                x = TransformerBlockR(
                     cfg.dim, cfg.num_heads, cfg.expansion_factor,
                     cfg.dropout, cfg.dropout, dtype=dtype,
-                    name=f"transformer_{i}")(x, mask=mask, training=training)
+                    name=f"transformer_{i}")(x, mask, training)
         if v not in ("squeezeformer", "conformer", "hybrid", "conv_hybrid",
                      "conv_transformer"):
             raise ValueError(f"unknown variant {v!r}")

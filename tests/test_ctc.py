@@ -105,3 +105,38 @@ def test_jit_and_batch_shapes(rng):
     f = jax.jit(lambda a, b: ctc_loss(a, b))
     out = f(jnp.asarray(logits), jnp.asarray(labels))
     assert np.isfinite(float(out))
+
+
+def test_empty_label():
+    """Zero-length label: loss = -sum log P(blank) over all frames."""
+    T, C = 6, 60
+    rng = np.random.default_rng(3)
+    logits = rng.standard_normal((1, T, C)).astype(np.float32)
+    labels = np.full((1, 4), BLANK, np.int32)
+    got = float(ctc_loss(jnp.asarray(logits), jnp.asarray(labels),
+                         reduction="none")[0])
+    lp = np.log(np.exp(logits[0]) / np.exp(logits[0]).sum(-1, keepdims=True))
+    want = -lp[:, BLANK].sum()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_impossible_alignment_is_huge():
+    """Label longer than the frame count cannot be emitted: loss ~ inf."""
+    T, U, C = 3, 8, 60
+    rng = np.random.default_rng(4)
+    logits = rng.standard_normal((1, T, C)).astype(np.float32)
+    labels = np.full((1, U), BLANK, np.int32)
+    labels[0] = rng.integers(0, C - 1, U)
+    loss = float(ctc_loss(jnp.asarray(logits), jnp.asarray(labels),
+                          reduction="none")[0])
+    assert loss > 1e20  # NEG_INF path, finite representation
+
+
+def test_single_frame_single_label(rng):
+    logits = rng.standard_normal((1, 1, 60)).astype(np.float32)
+    labels = np.full((1, 2), BLANK, np.int32)
+    labels[0, 0] = 7
+    got = float(ctc_loss(jnp.asarray(logits), jnp.asarray(labels),
+                         reduction="none")[0])
+    lp = np.log(np.exp(logits[0, 0]) / np.exp(logits[0, 0]).sum())
+    np.testing.assert_allclose(got, -lp[7], rtol=1e-5)
