@@ -141,9 +141,15 @@ def beam_search_device(
         eq = same_len & eq_ids & alive[:, None] & alive[None, :]
         m_pb = _merge_logsumexp(c_pb, eq)
         m_pnb = _merge_logsumexp(c_pnb, eq)
-        # keep only the first member of each group
+        # keep only the first member of each group — and kill the mass on
+        # the duplicates, or top_k padding (when alive prefixes < W) can
+        # re-admit a copy carrying the full merged mass and double-count it
+        # on every subsequent frame
         first = jnp.argmax(eq, axis=1) == jnp.arange(NCAND)
-        score = jnp.where(first & alive, _logaddexp(m_pb, m_pnb), NEG)
+        keep = first & alive
+        m_pb = jnp.where(keep, m_pb, NEG)
+        m_pnb = jnp.where(keep, m_pnb, NEG)
+        score = jnp.where(keep, _logaddexp(m_pb, m_pnb), NEG)
 
         # --- top-W reselect -------------------------------------------
         _, sel = jax.lax.top_k(score, W)
