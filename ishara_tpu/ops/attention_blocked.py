@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import math
+
 from .attention import NEG
 
 
@@ -164,7 +166,7 @@ def flash_mhsa_blocked(q, k, v, bias, scale, block_q=128, block_k=128,
 
 def _padded_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
     T = q.shape[2]
-    mult = max(block_q, block_k)
+    mult = math.lcm(block_q, block_k)
     qp = _pad_to(q, 2, mult)
     kp = _pad_to(k, 2, mult)
     vp = _pad_to(v, 2, mult)
@@ -183,7 +185,7 @@ def _vjp_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
 def _vjp_bwd(scale, block_q, block_k, interpret, res, do):
     q, k, v, bias, o, lse = res
     B, H, T, Dh = q.shape
-    mult = max(block_q, block_k)
+    mult = math.lcm(block_q, block_k)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1, keepdims=True)
     qp, kp, vp = (_pad_to(t, 2, mult) for t in (q, k, v))

@@ -14,9 +14,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-BIG = jnp.int32(1 << 20)
-
-
 def edit_distance(
     a: jnp.ndarray, b: jnp.ndarray,
     len_a: jnp.ndarray, len_b: jnp.ndarray,

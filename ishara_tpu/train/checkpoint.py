@@ -25,39 +25,49 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, create=True,
             ),
         )
+        # best checkpoints live in their own manager so the recency-only
+        # retention of the main chain can never garbage-collect them
+        self._best_mgr = ocp.CheckpointManager(
+            self.directory / "best",
+            options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+        )
         self._meta_path = self.directory / "meta.json"
 
-    def save(self, step: int, state, metrics: dict | None = None,
-             wait: bool = False) -> None:
-        payload = {
+    @staticmethod
+    def _payload(state):
+        return {
             "params": state.params,
             "slow_params": state.slow_params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "step": state.step,
         }
-        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+
+    def save(self, step: int, state, metrics: dict | None = None,
+             wait: bool = False, best: bool = False) -> None:
+        """``best=True`` additionally writes to the protected best chain
+        (metric-bearing saves from the Trainer's val-improvement path)."""
+        self._mgr.save(step, args=ocp.args.StandardSave(self._payload(state)))
+        if best:
+            self._best_mgr.save(
+                step, args=ocp.args.StandardSave(self._payload(state)))
         if metrics is not None:
             meta = self.read_meta()
             meta[str(step)] = {k: float(v) for k, v in metrics.items()}
             self._meta_path.write_text(json.dumps(meta, indent=2))
         if wait:
             self._mgr.wait_until_finished()
+            self._best_mgr.wait_until_finished()
 
-    def restore(self, state, step: int | None = None):
-        """Restore into the structure of ``state`` (same model/optimizer)."""
-        step = self.latest_step() if step is None else step
+    def restore(self, state, step: int | None = None, best: bool = False):
+        """Restore into the structure of ``state`` (same model/optimizer).
+        ``best=True`` reads the protected best chain."""
+        mgr = self._best_mgr if best else self._mgr
+        step = mgr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
-        template = {
-            "params": state.params,
-            "slow_params": state.slow_params,
-            "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
-            "step": state.step,
-        }
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(template)
+        restored = mgr.restore(
+            step, args=ocp.args.StandardRestore(self._payload(state))
         )
         return state.replace(**restored)
 
@@ -81,3 +91,5 @@ class CheckpointManager:
     def close(self):
         self._mgr.wait_until_finished()
         self._mgr.close()
+        self._best_mgr.wait_until_finished()
+        self._best_mgr.close()

@@ -78,7 +78,8 @@ def _finish_step(state: "TrainState", loss, grads, new_batch_stats):
     else:
         new_slow, new_fast = fast, fast
 
-    ok = jnp.isfinite(loss)
+    grad_norm = optax.global_norm(grads)
+    ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
     new_state = state.replace(
         step=state.step + 1,
         params=_select(ok, new_fast, state.params),
@@ -86,7 +87,7 @@ def _finish_step(state: "TrainState", loss, grads, new_batch_stats):
         batch_stats=_select(ok, new_batch_stats, state.batch_stats),
         opt_state=_select(ok, new_opt_state, state.opt_state),
     )
-    metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+    metrics = {"loss": loss, "grad_norm": grad_norm}
     return new_state, metrics
 
 

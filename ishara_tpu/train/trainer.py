@@ -206,7 +206,7 @@ class Trainer:
     def validate(self, max_batches: int | None = None) -> dict:
         bs = self.cfg.train.batch_size
         all_preds, all_targets, losses = [], [], []
-        n_batches = max(1, len(self.val_data) // bs)
+        n_batches = max(1, -(-len(self.val_data) // bs))  # ceil: cover tail
         if max_batches:
             n_batches = min(n_batches, max_batches)
         for bi in range(n_batches):
@@ -271,7 +271,8 @@ class Trainer:
                     if val["val_score"] > self.best_score:
                         self.best_score = val["val_score"]
                         self.ckpt.save(int(self.state.step), self.state,
-                                       metrics={"val_score": val["val_score"]})
+                                       metrics={"val_score": val["val_score"]},
+                                       best=True)
                 if (epoch + 1) % tcfg.checkpoint_every_epochs == 0:
                     self.ckpt.save(int(self.state.step), self.state)
                 self.logger.log(rec, step=int(self.state.step))

@@ -118,17 +118,11 @@ def make_translation_train_step(pad_idx: int = 0, eos_idx: int = 2,
 
         (loss, (new_bs, confidence)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        updates, new_opt_state = state.tx.update(
-            grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(
-            step=state.step + 1, params=params, slow_params=params,
-            batch_stats=new_bs, opt_state=new_opt_state,
-        )
-        return new_state, {
-            "loss": loss,
-            "grad_norm": optax.global_norm(grads),
-            "confidence_mean": jnp.mean(confidence),
-        }
+        # shared guarded update: non-finite skip + Lookahead (state.py)
+        from .state import _finish_step
+
+        new_state, metrics = _finish_step(state, loss, grads, new_bs)
+        metrics["confidence_mean"] = jnp.mean(confidence)
+        return new_state, metrics
 
     return step
