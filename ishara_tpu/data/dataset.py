@@ -54,11 +54,11 @@ class ParquetASLFR:
             df = df.iloc[(process_index or 0)::process_count]
 
         if fold is not None:
-            # signer-based folds: stable hash of participant_id
-            signers = np.sort(df["participant_id"].unique())
-            fold_of = {int(s): i % num_folds for i, s in enumerate(signers)}
+            # signer-based folds, stable across hosts/processes: fold is a
+            # pure function of the participant id, independent of which rows
+            # this process happens to see
             in_fold = df["participant_id"].map(
-                lambda s: fold_of[int(s)]) == fold
+                lambda s: int(s) % num_folds) == fold
             df = df[~in_fold] if split == "train" else df[in_fold]
 
         if max_sequences is not None:
@@ -102,7 +102,8 @@ class ParquetASLFR:
 
     def batch(self, indices, tokenizer, max_frames: int = 384,
               max_phrase: int = lm.MAX_PHRASE_LENGTH) -> dict:
-        xs = np.zeros((len(list(indices)), max_frames, lm.N_COLS), np.float32)
+        indices = list(indices)
+        xs = np.zeros((len(indices), max_frames, lm.N_COLS), np.float32)
         lens = np.zeros((xs.shape[0],), np.int32)
         labels = np.full((xs.shape[0], max_phrase), PAD_TOKEN_IDX, np.int32)
         phrases = []

@@ -53,11 +53,13 @@ class Seq2SeqTokenizer:
         self.vocab_size = len(self.char_to_idx) + 3
 
     def encode(self, text: str, max_len: int | None = None) -> np.ndarray:
-        ids = [self.sos_token]
-        ids += [self.char_to_idx[c] for c in text if c in self.char_to_idx]
-        ids.append(self.eos_token)
+        chars = [self.char_to_idx[c] for c in text if c in self.char_to_idx]
         if max_len is not None:
-            ids = ids[:max_len] + [self.pad_token] * max(0, max_len - len(ids))
+            # truncate the *characters* so sos/eos always survive
+            chars = chars[: max_len - 2]
+        ids = [self.sos_token] + chars + [self.eos_token]
+        if max_len is not None:
+            ids += [self.pad_token] * (max_len - len(ids))
         return np.asarray(ids, dtype=np.int32)
 
     def decode(self, ids) -> str:

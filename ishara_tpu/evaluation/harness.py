@@ -35,7 +35,7 @@ class HarnessResult:
         }
 
 
-def dominant_hand_filter(dataset, indices, tokenizer, y_mul: float = 1.0):
+def dominant_hand_filter(dataset, indices, y_mul: float = 1.0):
     """Reference harness filter (cell 15): keep sequences whose dominant-hand
     non-NaN frame count exceeds y_mul * len(phrase)."""
     from ..data import landmarks as lm
@@ -65,7 +65,7 @@ def run_harness(
     """Evaluate ``engine`` (InferenceEngine) over up to ``num_sequences``."""
     indices = list(range(min(num_sequences, len(dataset))))
     if apply_filter:
-        indices = dominant_hand_filter(dataset, indices, tokenizer)
+        indices = dominant_hand_filter(dataset, indices)
 
     for i in indices[:warmup]:
         engine(dataset.render(i)[0])

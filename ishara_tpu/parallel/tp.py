@@ -21,12 +21,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # (regex on the flattened param path, PartitionSpec factory by leaf ndim)
 _TP_RULES: list[tuple[str, dict[int, P]]] = [
     # column-parallel: output features sharded
-    (r"(qkv|sa_q|sa_k|sa_v|ca_q|ca_k|ca_v|\bq\b|\bk\b|\bv\b)/kernel",
+    (r"(^|/)(qkv|sa_q|sa_k|sa_v|ca_q|ca_k|ca_v|q|k|v)/kernel",
      {2: P(None, "model")}),
     (r"(ffn\d?|ff1|ff2)/fc1/kernel", {2: P(None, "model")}),
     (r"(ffn\d?|ff1|ff2)/fc1/bias", {1: P("model")}),
     # row-parallel: input features sharded (psum at output)
-    (r"(proj|sa_out|ca_out|\bout\b)/kernel", {2: P("model", None)}),
+    (r"(^|/)(proj|sa_out|ca_out|out)/kernel", {2: P("model", None)}),
     (r"(ffn\d?|ff1|ff2)/fc2/kernel", {2: P("model", None)}),
 ]
 

@@ -38,7 +38,6 @@ class InferenceEngine:
         stats: GroupStats | None = None,
         max_raw_frames: int = 384,
         max_out: int = lm.MAX_PHRASE_LENGTH,
-        donate_input: bool = False,
     ):
         self.model = model
         self.variables = variables
@@ -108,7 +107,14 @@ class BatchedEngine:
         def one(variables, raw, length):
             x = preprocess(raw, length, stats, frame_len, thin=True)
             logits = model.apply(variables, x[None], training=False)[0]
-            return greedy_decode(logits, max_len=max_out)
+            ids, count = greedy_decode(logits, max_len=max_out)
+            # same <3-char constant-phrase fallback as the batch-1 engine
+            fb = jnp.full((max_out,), PAD_TOKEN_IDX, jnp.int32)
+            fb = fb.at[: len(FALLBACK_IDS)].set(jnp.asarray(FALLBACK_IDS))
+            use_fb = count < 3
+            ids = jnp.where(use_fb, fb, ids.astype(jnp.int32))
+            count = jnp.where(use_fb, len(FALLBACK_IDS), count)
+            return ids, count
 
         def program(variables, raws, lengths):
             return jax.vmap(lambda r, l: one(variables, r, l))(raws, lengths)

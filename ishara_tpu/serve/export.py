@@ -157,8 +157,10 @@ def export_serving_program(directory: str | Path, engine) -> Path:
 
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
+    from ..data import landmarks as lm
+
     shape = jax.ShapeDtypeStruct(
-        (engine.max_raw_frames, 276), jnp.float32)
+        (engine.max_raw_frames, lm.N_COLS), jnp.float32)
     lshape = jax.ShapeDtypeStruct((), jnp.int32)
     exported = jexport.export(jax.jit(engine.program_fn()))(
         engine.variables, shape, lshape)

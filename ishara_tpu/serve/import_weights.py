@@ -86,12 +86,20 @@ def load_tflite_weights(path: str | Path) -> list[tuple[str, np.ndarray]]:
     return out
 
 
-def _candidate_transforms(src: np.ndarray, dst_shape: tuple):
-    """Yield layout transforms from Keras/TFLite arrays to a flax leaf."""
+def _candidate_transforms(src: np.ndarray, dst_shape: tuple,
+                          prefer_transposed_2d: bool = False):
+    """Yield layout transforms from Keras/TFLite arrays to a flax leaf.
+
+    ``prefer_transposed_2d`` puts the transpose first for 2-D kernels —
+    TFLite fully_connected stores [out, in], so square kernels would
+    otherwise silently import untransposed."""
+    if prefer_transposed_2d and src.ndim == 2 and src.T.shape == dst_shape:
+        yield src.T
     if src.shape == dst_shape:
         yield src
     # Dense kernel transposed (TFLite fully_connected stores [out, in])
-    if src.ndim == 2 and src.T.shape == dst_shape:
+    if (not prefer_transposed_2d and src.ndim == 2
+            and src.T.shape == dst_shape):
         yield src.T
     # Keras DepthwiseConv1D kernel [k, C, 1] -> flax grouped conv [k, 1, C]
     if src.ndim == 3 and src.shape[-1] == 1 \
@@ -134,15 +142,19 @@ def _score(path_str: str, leaf_name: str, src_name: str) -> int:
 
 
 def import_by_structure(
-    sources: list[tuple[str, np.ndarray]], variables: dict
+    sources: list[tuple[str, np.ndarray]], variables: dict,
+    source_format: str = "keras",
 ) -> tuple[dict, dict]:
     """Name/role-aware greedy matching of source arrays onto the param tree.
 
     For every target leaf (framework traversal order) pick the best-scoring
     remaining source whose (transformed) shape fits; ties resolve to source
-    order. Returns (new_variables, report) with ``matched``,
-    ``unmatched_sources`` and ``unfilled_targets``.
+    order. ``source_format="tflite"`` prefers the transposed layout for 2-D
+    kernels (fully_connected stores [out, in] — square kernels would
+    otherwise import untransposed). Returns (new_variables, report) with
+    ``matched``, ``unmatched_sources`` and ``unfilled_targets``.
     """
+    prefer_t = source_format == "tflite"
     flat, treedef = jax.tree_util.tree_flatten_with_path(variables)
     remaining = list(sources)
     new_leaves = []
@@ -153,7 +165,7 @@ def import_by_structure(
         leaf_name = path_str.replace("'", "").rstrip("]").rsplit("[", 1)[-1]
         best = None  # (score, index, name, transformed)
         for i, (name, arr) in enumerate(remaining):
-            for cand in _candidate_transforms(arr, leaf_shape):
+            for cand in _candidate_transforms(arr, leaf_shape, prefer_t):
                 s = _score(path_str, leaf_name, name)
                 if best is None or s > best[0]:
                     best = (s, i, name, cand)
