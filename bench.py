@@ -50,7 +50,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ishara_jax_cache_tpu")
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        "/tmp/ishara_jax_cache_tpu" if on_tpu else "/tmp/ishara_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log("devices:", jax.devices())
 

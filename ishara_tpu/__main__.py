@@ -29,13 +29,18 @@ def _load_dataset(args, split="train"):
     from .data.synthetic import SyntheticASLFR
 
     n = args.max_sequences or (512 if split == "train" else 128)
-    return SyntheticASLFR(num_sequences=n, seed=0 if split == "train" else 1)
+    # splits must share proto_seed (same character->pose language) and
+    # differ only in phrase seed
+    return SyntheticASLFR(num_sequences=n, seed=0 if split == "train" else 1,
+                          proto_seed=7)
 
 
 def _config(args):
     from .config import IsharaConfig, baseline_config
 
-    if args.config and Path(args.config).exists():
+    if args.config:
+        if not Path(args.config).exists():
+            raise SystemExit(f"--config not found: {args.config}")
         return IsharaConfig.from_json(args.config)
     if args.preset:
         return baseline_config(args.preset)
@@ -90,8 +95,13 @@ def cmd_export(args):
                        jnp.float32)
     state = TrainState.create(model, tx, sample)
     ckpt = CheckpointManager(Path(args.workdir) / "ckpt")
-    step = ckpt.best_step() or ckpt.latest_step()
-    state = ckpt.restore(state, step=step)
+    best = ckpt.best_step()
+    if best is not None:
+        step = best
+        state = ckpt.restore(state, best=True)
+    else:
+        step = ckpt.latest_step()
+        state = ckpt.restore(state, step=step)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     out = export_model(args.output, cfg, variables,
                        half_precision=not args.full_precision)
@@ -123,7 +133,7 @@ def cmd_infer(args):
 
 
 def cmd_bench(args):
-    sys.argv = ["bench.py"]
+    sys.argv = ["bench.py"] + (["--profile"] if args.profile else [])
     root = Path(__file__).resolve().parent.parent
     sys.path.insert(0, str(root))
     import bench
@@ -174,6 +184,7 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_infer)
 
     sp = sub.add_parser("bench")
+    sp.add_argument("--profile", action="store_true")
     sp.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)

@@ -31,12 +31,14 @@ def greedy_decode(
     """
     T = logits.shape[0]
     x = jnp.argmax(logits, axis=-1)
-    if length is not None:
-        # treat frames past `length` as blank so they collapse away
-        x = jnp.where(jnp.arange(T) < length, x, blank_id)
     # successor of the last frame is itself -> final run dropped (reference
     # quirk: adjacent_indices ⊆ [0, T-2])
     nxt = jnp.concatenate([x[1:], x[-1:]])
+    if length is not None:
+        # crop parity: frames past `length` behave as if absent — the frame
+        # at length-1 is the "last frame" whose run the reference drops
+        x = jnp.where(jnp.arange(T) < length, x, blank_id)
+        nxt = jnp.where(jnp.arange(T) >= length - 1, x, nxt)
     keep = (x != nxt) & (x != blank_id)
 
     # Compact kept ids to the front, preserving order.

@@ -26,21 +26,24 @@ def _build() -> ctypes.CDLL | None:
                                 tempfile.gettempdir())) / "ishara_native"
     cache.mkdir(parents=True, exist_ok=True)
     so = cache / f"levenshtein_{tag}.so"
-    if not so.exists():
-        tmp = so.with_suffix(".so.tmp")
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-               str(_SRC), "-o", str(tmp)]
-        try:
+    try:
+        if not so.exists():
+            # unique tmp per process: concurrent builders each write their
+            # own file; the rename into place is atomic
+            tmp = so.with_suffix(f".so.tmp.{os.getpid()}")
+            cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                   str(_SRC), "-o", str(tmp)]
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
             tmp.rename(so)
-        except Exception:
-            return None
-    lib = ctypes.CDLL(str(so))
-    lib.batch_levenshtein.restype = None
-    lib.batch_levenshtein.argtypes = [
-        ctypes.POINTER(ctypes.c_int32)] * 4 + [
-        ctypes.c_int32] * 3 + [ctypes.POINTER(ctypes.c_int32)]
-    return lib
+        lib = ctypes.CDLL(str(so))
+        lib.batch_levenshtein.restype = None
+        lib.batch_levenshtein.argtypes = [
+            ctypes.POINTER(ctypes.c_int32)] * 4 + [
+            ctypes.c_int32] * 3 + [ctypes.POINTER(ctypes.c_int32)]
+        return lib
+    except Exception:
+        # any failure (toolchain missing, corrupt cached .so) -> python DP
+        return None
 
 
 def _lib() -> ctypes.CDLL | None:

@@ -140,6 +140,8 @@ class Trainer:
             self._eval_step = jax.jit(eval_step)
             self._bsh = None
 
+        self.workdir.mkdir(parents=True, exist_ok=True)
+        config.to_json(self.workdir / "config.json")
         self.logger = MetricLogger(self.workdir)
         self.ckpt = CheckpointManager(self.workdir / "ckpt")
         self.best_score = -np.inf

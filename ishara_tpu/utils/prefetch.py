@@ -5,6 +5,11 @@ DataLoader workers; here a single background thread assembles the next host
 batch while the device executes the current step (the device-side work —
 augment/preprocess/train — is already one fused program, so one thread of
 numpy collation is all the host path needs).
+
+Cancellation-safe: if the consumer abandons the generator (exception in the
+training loop, preemption), closing it sets a stop flag, the worker's
+bounded put() times out, and the thread exits instead of pinning the source
+iterable forever.
 """
 
 from __future__ import annotations
@@ -17,23 +22,39 @@ def prefetch(iterable, depth: int = 2):
     """Iterate ``iterable`` on a background thread, ``depth`` items ahead."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
     error: list[BaseException] = []
 
     def worker():
         try:
             for item in iterable:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # propagate into the consumer
             error.append(e)
         finally:
-            q.put(sentinel)
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if error:
-                raise error[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+    finally:
+        stop.set()

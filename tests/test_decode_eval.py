@@ -65,11 +65,25 @@ def test_batch_decode_and_tokenizer_roundtrip(rng):
     assert texts == ["hi", "yoyo"]  # trailing blank run dropped, last 'o' kept
 
 
-def test_length_arg_blanks_tail():
+def test_length_arg_matches_cropped_decode():
+    """length=n must decode exactly like running on the cropped sequence
+    (the reference final-run-drop quirk applies at position n-1)."""
     frames = [5, 5, BLANK, 7, 7, 7, 8, 8]
     ids, n = greedy_decode(logits_for(frames), length=6)
-    # frames >= 6 treated as blank: 5,5,B,7,7,7|B,B -> 5 then 7 (final blank run dropped)
-    assert np.asarray(ids)[: int(n)].tolist() == [5, 7]
+    ids_crop, n_crop = greedy_decode(logits_for(frames[:6]))
+    assert (np.asarray(ids)[: int(n)].tolist()
+            == np.asarray(ids_crop)[: int(n_crop)].tolist()
+            == reference_decode(frames[:6]) == [5])
+
+
+def test_length_arg_random_crop_parity(rng):
+    for _ in range(15):
+        T = int(rng.integers(4, 40))
+        L = int(rng.integers(2, T + 1))
+        frames = rng.integers(0, C, size=T)
+        ids, n = greedy_decode(logits_for(frames), length=L)
+        assert np.asarray(ids)[: int(n)].tolist() == reference_decode(
+            frames[:L])
 
 
 def test_levenshtein_basics():
