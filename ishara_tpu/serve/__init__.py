@@ -6,6 +6,7 @@ from .export import (
     load_engine,
     load_serving_program,
 )
+from .translation_engine import TranslationEngine
 from .import_weights import (
     diff_variables,
     import_by_structure,
@@ -17,6 +18,7 @@ __all__ = [
     "FALLBACK_IDS",
     "BatchedEngine",
     "InferenceEngine",
+    "TranslationEngine",
     "export_model",
     "export_serving_program",
     "load_bundle",

@@ -1,0 +1,65 @@
+"""Batch-1 serving engine for the encoder-decoder (translation) family.
+
+Completes the serving surface for the torch-path model: raw landmarks ->
+preprocess -> grouped reshape -> encoder (once) -> autoregressive greedy
+decode -> token ids + confidence, compiled to one XLA executable, mirroring
+:class:`ishara_tpu.serve.engine.InferenceEngine` for the CTC family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data import landmarks as lm
+from ..decode.autoregressive import greedy_translate
+from ..preprocess.pipeline import GroupStats, frame_mask, preprocess
+
+
+class TranslationEngine:
+    def __init__(
+        self,
+        model,
+        variables: dict,
+        stats: GroupStats | None = None,
+        frame_len: int = lm.FRAME_LEN,
+        max_raw_frames: int = 384,
+        max_out: int = lm.MAX_PHRASE_LENGTH,
+        sos: int = 1,
+        eos: int = 2,
+        pad: int = 0,
+    ):
+        self.variables = variables
+        self.max_raw_frames = max_raw_frames
+        self.max_out = max_out
+        stats = stats or GroupStats.identity()
+
+        def program(variables, raw, length):
+            flat = preprocess(raw, length, stats, frame_len)
+            mask = frame_mask(flat)[None]
+            x = flat.reshape(1, frame_len, lm.N_LANDMARKS, 3)
+            tokens, confidence = greedy_translate(
+                model, variables, x, mask, max_len=max_out,
+                sos=sos, eos=eos, pad=pad,
+            )
+            return tokens[0], confidence[0]
+
+        shape = jax.ShapeDtypeStruct((max_raw_frames, lm.N_COLS), jnp.float32)
+        lshape = jax.ShapeDtypeStruct((), jnp.int32)
+        self._compiled = (
+            jax.jit(program).lower(variables, shape, lshape).compile()
+        )
+
+    def __call__(self, raw_frames: np.ndarray) -> tuple[np.ndarray, float]:
+        """raw [T, 276] -> (token ids [max_out], confidence)."""
+        T = raw_frames.shape[0]
+        buf = np.zeros((self.max_raw_frames, lm.N_COLS), np.float32)
+        n = min(T, self.max_raw_frames)
+        buf[:n] = raw_frames[:n]
+        tokens, conf = self._compiled(self.variables, buf, np.int32(max(n, 1)))
+        return np.asarray(tokens), float(conf)
+
+    def predict_text(self, raw_frames: np.ndarray, tokenizer) -> tuple[str, float]:
+        tokens, conf = self(raw_frames)
+        return tokenizer.decode(tokens), conf

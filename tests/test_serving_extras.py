@@ -54,3 +54,27 @@ def test_stablehlo_roundtrip(model_vars, tmp_path):
     ids2, c2 = engine(s)
     assert int(c1) == int(c2)
     np.testing.assert_array_equal(np.asarray(ids1), ids2)
+
+
+def test_translation_engine_roundtrip():
+    import jax
+    import jax.numpy as jnp
+
+    from ishara_tpu.data.synthetic import SyntheticASLFR
+    from ishara_tpu.data.tokenizer import Seq2SeqTokenizer
+    from ishara_tpu.models.seq2seq import ASLTranslationModel
+    from ishara_tpu.serve.translation_engine import TranslationEngine
+
+    tok = Seq2SeqTokenizer()
+    model = ASLTranslationModel(num_classes=tok.vocab_size, feature_dim=64,
+                                num_heads=4)
+    x0 = jnp.zeros((1, 32, 92, 3))
+    m0 = jnp.ones((1, 32), bool)
+    t0 = jnp.zeros((1, 4), jnp.int32)
+    variables = model.init(jax.random.key(0), x0, m0, t0)
+    eng = TranslationEngine(model, variables, frame_len=32,
+                            max_raw_frames=64, max_out=12)
+    ds = SyntheticASLFR(num_sequences=2, frames_per_char=4)
+    text, conf = eng.predict_text(ds.render(0)[0], tok)
+    assert isinstance(text, str)
+    assert np.isfinite(conf)
