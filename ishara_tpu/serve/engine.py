@@ -39,13 +39,18 @@ class InferenceEngine:
         max_raw_frames: int = 384,
         max_out: int = lm.MAX_PHRASE_LENGTH,
     ):
+        # Measured negative result (RESULTS.md): keeping weights int8 in HBM
+        # with in-program dequant was 9x SLOWER on v5e (XLA re-materializes
+        # the dequantized tree per sequence rather than fusing it into the
+        # matmuls), so int8 stays an artifact-size feature (export's
+        # quantize_int8), not a serving mode.
         self.model = model
-        self.variables = variables
         self.stats = stats or GroupStats.identity()
         self.max_raw_frames = max_raw_frames
         self.max_out = max_out
         cfg: EncoderConfig = model.cfg
         self.frame_len = cfg.frame_len
+        self.variables = variables
 
         def program(variables, raw, length):
             x = preprocess(raw, length, self.stats, self.frame_len, thin=True)

@@ -97,6 +97,8 @@ def _quantize_tree(tree):
 
 
 def _dequantize_tree(tree):
+    """Traceable: works on host numpy trees (bundle load) and on tracers
+    inside a jitted program (int8-resident serving)."""
     import jax
 
     def is_q(x):
@@ -104,8 +106,8 @@ def _dequantize_tree(tree):
 
     def dq(x):
         if is_q(x):
-            return jnp.asarray(
-                np.asarray(x["q"], np.float32) * np.asarray(x["scale"]))
+            return jnp.asarray(x["q"]).astype(jnp.float32) * jnp.asarray(
+                x["scale"])
         return x
 
     return jax.tree_util.tree_map(dq, tree, is_leaf=is_q)
