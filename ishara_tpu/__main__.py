@@ -78,7 +78,7 @@ def cmd_train(args):
 
 def cmd_export(args):
     from .config import IsharaConfig
-    from .models.encoder import IsharaEncoder
+    from .models.encoder import build_model
     from .serve.export import export_model
     from .train.checkpoint import CheckpointManager
     from .train.optim import make_optimizer
@@ -89,7 +89,7 @@ def cmd_export(args):
 
     cfg = IsharaConfig.from_json(Path(args.workdir) / "config.json") \
         if (Path(args.workdir) / "config.json").exists() else _config(args)
-    model = IsharaEncoder(cfg.model)
+    model = build_model(cfg.model)
     tx, _ = make_optimizer(cfg.train)
     sample = jnp.zeros((1, cfg.model.frame_len, cfg.model.input_dim),
                        jnp.float32)

@@ -1,5 +1,5 @@
 from .blocks import Conv1DBlock, ConformerBlock, SqueezeformerBlock, TransformerBlock
-from .encoder import IsharaEncoder, get_model
+from .encoder import IsharaEncoder, build_model, get_model
 from .layers import (
     CausalDWConv1D,
     ECA,
@@ -15,6 +15,7 @@ __all__ = [
     "SqueezeformerBlock",
     "TransformerBlock",
     "IsharaEncoder",
+    "build_model",
     "get_model",
     "CausalDWConv1D",
     "ECA",

@@ -103,6 +103,44 @@ class IsharaEncoder(nn.Module):
         return x.astype(jnp.float32)
 
 
+class _SpeechUNetAdapter(nn.Module):
+    """Adapts the speech-style Temporal U-Net Squeezeformer
+    (models.squeezeformer_unet) to the IsharaEncoder calling convention so it
+    trains/exports through the same Trainer/bundle machinery. Its CTC head
+    emits log-probs; log_softmax is idempotent, so downstream CTC loss and
+    greedy decode are unaffected."""
+
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        from .squeezeformer_unet import Squeezeformer
+
+        cfg = self.cfg
+        mask = frame_mask(x)
+        n = max(cfg.num_squeeze_blocks, 2)
+        return Squeezeformer(
+            num_classes=cfg.num_classes,
+            dim=cfg.dim,
+            num_layers=n,
+            num_heads=cfg.num_heads,
+            reduce_idx=max(n // 3, 1) if cfg.frame_len % 2 == 0 else 0,
+            recover_idx=max(2 * n // 3, 2),
+            dropout=cfg.dropout,
+            dtype=jnp.dtype(cfg.dtype),
+            name="unet",
+        )(x, mask=mask, training=training)
+
+
+def build_model(cfg: EncoderConfig) -> nn.Module:
+    """Model factory over ALL CTC families, including the Temporal U-Net
+    speech variant — the single constructor used by Trainer, export/load and
+    the driver entries."""
+    if cfg.variant == "squeezeformer_unet":
+        return _SpeechUNetAdapter(cfg)
+    return IsharaEncoder(cfg)
+
+
 def get_model(
     dim: int = 256,
     num_conv_squeeze_blocks: int = 2,

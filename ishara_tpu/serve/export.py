@@ -27,7 +27,7 @@ from flax import serialization
 
 from ..config import IsharaConfig
 from ..data.landmarks import SEL_COLS
-from ..models.encoder import IsharaEncoder
+from ..models.encoder import IsharaEncoder, build_model
 from ..preprocess.pipeline import GroupStats
 
 
@@ -117,7 +117,7 @@ def load_bundle(directory: str | Path):
     """-> (config, variables, stats)."""
     directory = Path(directory)
     config = IsharaConfig.from_json(directory / "config.json")
-    model = IsharaEncoder(config.model)
+    model = build_model(config.model)
     sample = jnp.zeros((1, config.model.frame_len, config.model.input_dim),
                        jnp.float32)
     import jax
@@ -144,7 +144,7 @@ def load_engine(directory: str | Path, **engine_kwargs):
     from .engine import InferenceEngine
 
     config, variables, stats = load_bundle(directory)
-    model = IsharaEncoder(config.model)
+    model = build_model(config.model)
     return InferenceEngine(model, variables, stats=stats, **engine_kwargs)
 
 

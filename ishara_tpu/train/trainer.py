@@ -24,7 +24,7 @@ import numpy as np
 
 from ..config import IsharaConfig
 from ..evaluation.metrics import normalized_levenshtein
-from ..models.encoder import IsharaEncoder
+from ..models.encoder import build_model
 from ..parallel.mesh import batch_sharding, replicated
 from ..preprocess.pipeline import GroupStats
 from ..utils.logging import MetricLogger
@@ -70,7 +70,7 @@ class Trainer:
         lookahead = (tcfg.lookahead_sync_period
                      if tcfg.optimizer == "radam_lookahead" else 1)
         if task == "ctc":
-            self.model = IsharaEncoder(mcfg)
+            self.model = build_model(mcfg)
             sample = jnp.zeros((1, mcfg.frame_len, mcfg.input_dim),
                                jnp.float32)
             self.state = TrainState.create(

@@ -60,3 +60,29 @@ def test_ctc_model_log_probs():
     assert lp.shape == (B, T, 60)
     np.testing.assert_allclose(
         np.exp(np.asarray(lp)).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_unet_variant_trains_via_factory():
+    """The speech U-Net family trains through the standard factory/Trainer
+    machinery (build_model + fused CTC step)."""
+    import optax
+
+    from ishara_tpu.config import EncoderConfig
+    from ishara_tpu.models import build_model
+    from ishara_tpu.train import TrainState, ctc_train_step
+
+    cfg = EncoderConfig(variant="squeezeformer_unet", dim=32,
+                        num_squeeze_blocks=3, num_heads=2, frame_len=16,
+                        dropout=0.0)
+    model = build_model(cfg)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (4, 16, 276)).astype(np.float32))
+    labels = jnp.full((4, 6), 59, jnp.int32).at[:, :2].set(5)
+    state = TrainState.create(model, optax.adam(3e-3), x[:1],
+                              lookahead_sync_period=1)
+    step = jax.jit(ctc_train_step)
+    losses = []
+    for _ in range(30):
+        state, m = step(state, {"x": x, "labels": labels}, jax.random.key(0))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses[::10]
