@@ -7,11 +7,13 @@ serving path fused into one XLA executable: raw landmarks -> thinning ->
 normalization/resample -> hybrid 4+4 encoder (dim=256, the 0.728-family
 architecture) -> greedy CTC collapse -> fallback.
 
-Measurement note: this harness reaches its chip through a network tunnel with
-~30 ms RTT, which would swamp the on-chip number a co-located host would see.
-The headline therefore times a sequential on-device loop over N distinct
-sequences (batch-1 semantics per iteration, one dispatch) and divides by N;
-the raw host->host time including the tunnel is also printed to stderr.
+Measurement methodology (hard-won; see RESULTS.md "measurement pitfalls"):
+this harness reaches its chip through a network tunnel where
+``block_until_ready`` returns BEFORE device execution finishes, so every
+timing below (a) fetches a VALUE that data-depends on all the work, and
+(b) uses the SLOPE between a small and a large in-program repetition count,
+which cancels the ~30 ms tunnel round trip. Repetitions are chained through
+the carry so XLA cannot hoist loop-invariant work.
 
 Prints ONE JSON line:
   {"metric": ..., "value": ms, "unit": "ms", "vs_baseline": speedup}
@@ -30,20 +32,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_engine():
-    import jax
-    from ishara_tpu.config import baseline_config
-    from ishara_tpu.models import IsharaEncoder
-    from ishara_tpu.serve import InferenceEngine
-
-    cfg = baseline_config(5).model  # serving config, hybrid 4+4 dim=256 (f32: measured faster than bf16 on v5e)
-    model = IsharaEncoder(cfg)
-    x0 = np.zeros((1, cfg.frame_len, cfg.input_dim), np.float32)
-    variables = model.init(jax.random.key(0), x0)
-    t0 = time.perf_counter()
-    engine = InferenceEngine(model, variables, max_raw_frames=384)
-    log(f"compile(single): {time.perf_counter() - t0:.1f}s")
-    return engine
+def med_time(fn, n=5):
+    fn()  # warm
+    ts = []
+    for _ in range(n):
+        t = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t)
+    return float(np.median(ts))
 
 
 def main():
@@ -62,18 +58,29 @@ def main():
         profile_dir = "/tmp/ishara_trace"
         log(f"profiling -> {profile_dir} (view in tensorboard/perfetto)")
 
+    from ishara_tpu.config import baseline_config
     from ishara_tpu.data.synthetic import SyntheticASLFR
+    from ishara_tpu.models import IsharaEncoder
+    from ishara_tpu.serve import InferenceEngine
 
-    # train throughput first: the host->host latency loop below degrades
-    # later dispatch pipelining in the same process (tunnel quirk)
+    # --- training throughput (secondary, stderr) ---
     try:
-        tp = measure_train_throughput()
-        log(f"train throughput: {tp:.1f} seqs/sec/chip "
-            f"(reference GPU: 83-99 seqs/sec)")
+        tp, ms = measure_train_throughput()
+        log(f"train throughput: {tp:.0f} seqs/sec/chip at batch 256 "
+            f"({ms:.1f} ms/step; reference GPU: 83-99 seqs/sec)")
     except Exception as e:  # pragma: no cover
         log("train throughput failed:", repr(e))
 
-    engine = build_engine()
+    # --- headline: on-chip batch-1 serving latency ---
+    cfg = baseline_config(5).model
+    model = IsharaEncoder(cfg)
+    x0 = np.zeros((1, cfg.frame_len, cfg.input_dim), np.float32)
+    variables = model.init(jax.random.key(0), x0)
+    t0 = time.perf_counter()
+    engine = InferenceEngine(model, variables, max_raw_frames=384)
+    log(f"compile(single): {time.perf_counter() - t0:.1f}s")
+    single = engine.program_fn()
+
     N = 64
     ds = SyntheticASLFR(num_sequences=N, seed=7)
     bufs = np.zeros((N, engine.max_raw_frames, 276), np.float32)
@@ -83,53 +90,38 @@ def main():
         n = min(len(s), engine.max_raw_frames)
         bufs[i, :n] = s[:n]
         lens[i] = n
+    db, dl = jnp.asarray(bufs), jnp.asarray(lens)
 
-    # --- headline: on-chip per-sequence latency, tunnel RT amortized ---
-    # One dispatch runs the full batch-1 program sequentially N*R times
-    # (lax.scan of lax.map); dividing amortizes the ~30 ms tunnel round trip
-    # to <1% of the measurement. (A plain N=64 loop still carries ~0.47 ms
-    # of RT per sequence — that was the older, pessimistic methodology.)
-    single = engine.program_fn()
-    R = 10
+    def serving_loop(K):
+        # chain the carry into the input so the K runs cannot be hoisted/CSEd
+        def body(carry, i):
+            raw = db[i % N] + carry * 1e-12
+            _, cnt = single(engine.variables, raw, dl[i % N])
+            return (carry + cnt).astype(jnp.float32), None
 
-    def repeated(variables, bufs, lens):
-        def rep(carry, _):
-            _, counts = jax.lax.map(
-                lambda bl: single(variables, bl[0], bl[1]), (bufs, lens))
-            return carry + jnp.sum(counts), None
-        total, _ = jax.lax.scan(rep, jnp.int32(0), None, length=R)
-        return total
+        compiled = jax.jit(
+            lambda: jax.lax.scan(body, jnp.float32(0), jnp.arange(K))[0]
+        ).lower().compile()
+        return lambda: float(compiled())
 
-    t0 = time.perf_counter()
-    looped_c = (
-        jax.jit(repeated)
-        .lower(engine.variables, jnp.asarray(bufs), jnp.asarray(lens))
-        .compile()
-    )
-    log(f"compile(loop): {time.perf_counter() - t0:.1f}s")
-
-    dbufs = jax.device_put(jnp.asarray(bufs))
-    dlens = jax.device_put(jnp.asarray(lens))
-    jax.block_until_ready(looped_c(engine.variables, dbufs, dlens))
+    lo, hi = 16, 144
+    f_lo, f_hi = serving_loop(lo), serving_loop(hi)
     if profile_dir:
         from ishara_tpu.utils.profiling import trace
 
         with trace(profile_dir):
-            jax.block_until_ready(looped_c(engine.variables, dbufs, dlens))
-    per_seq = []
-    for _ in range(5):
-        t = time.perf_counter()
-        jax.block_until_ready(looped_c(engine.variables, dbufs, dlens))
-        per_seq.append((time.perf_counter() - t) * 1e3 / (N * R))
-    p50 = float(np.percentile(per_seq, 50))
-    log(f"on-chip batch-1 per-seq ms ({N * R} sequential runs): "
-        f"p50={p50:.4f} runs={[round(v, 4) for v in per_seq]}")
+            f_hi()
+    t_lo, t_hi = med_time(f_lo), med_time(f_hi)
+    per_seq_ms = (t_hi - t_lo) / (hi - lo) * 1e3
+    log(f"on-chip batch-1 per-seq: {per_seq_ms:.3f} ms "
+        f"(slope of {lo}->{hi} chained runs; lo={t_lo*1e3:.0f} ms "
+        f"hi={t_hi*1e3:.0f} ms)")
 
-    # --- secondary: host->host including tunnel ---
+    # --- secondary: host->host including the tunnel ---
     for s in range(4):
         engine(bufs[s])
     lat = []
-    for i in range(32):
+    for i in range(16):
         t = time.perf_counter()
         engine(bufs[i % N])
         lat.append((time.perf_counter() - t) * 1e3)
@@ -137,13 +129,15 @@ def main():
 
     print(json.dumps({
         "metric": "batch1_decode_latency_ms_p50",
-        "value": round(p50, 3),
+        "value": round(per_seq_ms, 3),
         "unit": "ms",
-        "vs_baseline": round(BASELINE_MS / p50, 2),
+        "vs_baseline": round(BASELINE_MS / per_seq_ms, 2),
     }), flush=True)
 
 
-def measure_train_throughput(batch_size=64, steps=50):
+def measure_train_throughput(batch_size=256, lo=2, hi=10):
+    """Per-step device time via in-program lax.scan over train steps (the
+    state carry prevents hoisting), slope between two repetition counts."""
     import jax
     import jax.numpy as jnp
 
@@ -158,25 +152,30 @@ def measure_train_throughput(batch_size=64, steps=50):
     model = IsharaEncoder(cfg)
     tok = CTCTokenizer()
     ds = SyntheticASLFR(num_sequences=batch_size, seed=3)
-    batch = ds.batch(range(batch_size), tok, max_frames=384)
+    batch = ds.batch(range(batch_size), tok, max_frames=96)
     x = preprocess_batch(
         jnp.asarray(batch["raw"]), jnp.asarray(batch["lengths"]),
         GroupStats.identity(), frame_len=cfg.frame_len,
     )
     tcfg = TrainConfig(steps_per_epoch=1000)
     tx, _ = make_optimizer(tcfg)
-    state = TrainState.create(model, tx, x[:1])
-    step_fn = jax.jit(ctc_train_step, donate_argnums=(0,))
+    state0 = TrainState.create(model, tx, x[:1])
     jb = {"x": x, "labels": jnp.asarray(batch["labels"])}
     rng = jax.random.key(0)
-    state, m = step_fn(state, jb, rng)  # compile
-    jax.block_until_ready(m["loss"])
-    t = time.perf_counter()
-    for _ in range(steps):
-        state, m = step_fn(state, jb, rng)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t
-    return batch_size * steps / dt
+
+    def loop(K):
+        def body(s, _):
+            s2, m = ctc_train_step(s, jb, rng)
+            return s2, m["loss"]
+
+        compiled = jax.jit(
+            lambda s: jnp.sum(jax.lax.scan(body, s, None, length=K)[1])
+        ).lower(state0).compile()
+        return lambda: float(compiled(state0))
+
+    t_lo, t_hi = med_time(loop(lo), 3), med_time(loop(hi), 3)
+    per_step = (t_hi - t_lo) / (hi - lo)
+    return batch_size / per_step, per_step * 1e3
 
 
 if __name__ == "__main__":

@@ -131,9 +131,10 @@ def baseline_config(index: int) -> IsharaConfig:
                                 num_squeeze_blocks=4, num_conform_blocks=4,
                                 dropout=0.4, top_mult=1),
         ),
-        # measured on v5e: f32 beats bf16 for BOTH training (8x) and batch-1
-        # serving on this model size — conversions break XLA fusions; bf16
-        # stays available via EncoderConfig(dtype="bfloat16")
+        # measured on v5e (honest slope methodology, RESULTS.md): bf16 is
+        # ~1.5x faster for training and a wash for batch-1 serving; f32 is
+        # kept as the serving default for exact-parity decoding, bf16 via
+        # EncoderConfig(dtype="bfloat16") for training throughput
         5: IsharaConfig(
             model=EncoderConfig(variant="hybrid", dim=256,
                                 num_squeeze_blocks=4, num_conform_blocks=4,

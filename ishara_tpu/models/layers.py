@@ -118,8 +118,8 @@ class MultiHeadSelfAttention(nn.Module):
     Pallas flash kernel (:func:`ishara_tpu.ops.attention.flash_mhsa`),
     including in-kernel attention dropout seeded from the flax RNG.
     ``use_flash`` defaults to False: at this model size (T=176, Dh=32) XLA's
-    batched einsum measured faster on v5e; the kernel is the path for longer
-    FRAME_LEN / future context-parallel sharding (SURVEY.md §5 long-context).
+    batched einsum measured 3x faster on v5e (RESULTS.md); the kernel is the
+    path for longer FRAME_LEN / context-parallel sharding (SURVEY.md §5).
     """
 
     dim: int = 256
