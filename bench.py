@@ -104,14 +104,14 @@ def main():
         ).lower().compile()
         return lambda: float(compiled())
 
-    lo, hi = 16, 144
+    lo, hi = 16, 272  # wide spread: slope noise ~ RT-jitter/(hi-lo)
     f_lo, f_hi = serving_loop(lo), serving_loop(hi)
     if profile_dir:
         from ishara_tpu.utils.profiling import trace
 
         with trace(profile_dir):
             f_hi()
-    t_lo, t_hi = med_time(f_lo), med_time(f_hi)
+    t_lo, t_hi = med_time(f_lo, n=7), med_time(f_hi, n=7)
     per_seq_ms = (t_hi - t_lo) / (hi - lo) * 1e3
     log(f"on-chip batch-1 per-seq: {per_seq_ms:.3f} ms "
         f"(slope of {lo}->{hi} chained runs; lo={t_lo*1e3:.0f} ms "
