@@ -38,12 +38,18 @@ class InferenceEngine:
         stats: GroupStats | None = None,
         max_raw_frames: int = 384,
         max_out: int = lm.MAX_PHRASE_LENGTH,
+        decode: str = "greedy",
+        beam_width: int = 8,
+        beam_top_k: int = 8,
     ):
-        # Measured negative result (RESULTS.md): keeping weights int8 in HBM
-        # with in-program dequant was 9x SLOWER on v5e (XLA re-materializes
-        # the dequantized tree per sequence rather than fusing it into the
-        # matmuls), so int8 stays an artifact-size feature (export's
-        # quantize_int8), not a serving mode.
+        """``decode``: "greedy" (reference parity) or "beam" (on-device CTC
+        prefix beam search, decode/beam_device.py) — both fuse into the same
+        executable.
+
+        Measured negative result (RESULTS.md): keeping weights int8 in HBM
+        with in-program dequant was much slower on v5e (XLA re-materializes
+        the dequantized tree per sequence), so int8 stays an artifact-size
+        feature (export's quantize_int8), not a serving mode."""
         self.model = model
         self.stats = stats or GroupStats.identity()
         self.max_raw_frames = max_raw_frames
@@ -51,11 +57,21 @@ class InferenceEngine:
         cfg: EncoderConfig = model.cfg
         self.frame_len = cfg.frame_len
         self.variables = variables
+        if decode not in ("greedy", "beam"):
+            raise ValueError(f"decode must be 'greedy' or 'beam', got {decode!r}")
 
         def program(variables, raw, length):
             x = preprocess(raw, length, self.stats, self.frame_len, thin=True)
             logits = self.model.apply(variables, x[None], training=False)[0]
-            ids, count = greedy_decode(logits, max_len=self.max_out)
+            if decode == "beam":
+                from ..decode.beam_device import beam_search_device
+
+                lp = jax.nn.log_softmax(logits, axis=-1)
+                ids, count, _ = beam_search_device(
+                    lp, beam_width=beam_width, top_k=beam_top_k,
+                    max_len=self.max_out)
+            else:
+                ids, count = greedy_decode(logits, max_len=self.max_out)
             # reference fallback: <3 chars -> constant phrase
             fb = jnp.full((self.max_out,), PAD_TOKEN_IDX, jnp.int32)
             fb = fb.at[: len(FALLBACK_IDS)].set(jnp.asarray(FALLBACK_IDS))

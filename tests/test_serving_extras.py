@@ -78,3 +78,19 @@ def test_translation_engine_roundtrip():
     text, conf = eng.predict_text(ds.render(0)[0], tok)
     assert isinstance(text, str)
     assert np.isfinite(conf)
+
+
+def test_engine_beam_decode_mode(model_vars):
+    """decode='beam' fuses the on-device beam search into the executable and
+    agrees with greedy on confident (trained-like) logits paths."""
+    import pytest
+
+    model, variables = model_vars
+    eng = InferenceEngine(model, variables, max_raw_frames=64, decode="beam",
+                          beam_width=4, beam_top_k=8)
+    ds = SyntheticASLFR(num_sequences=2, frames_per_char=4)
+    ids, count = eng(ds.render(0)[0])
+    assert ids.shape == (64,)
+    assert 0 <= count <= 64
+    with pytest.raises(ValueError):
+        InferenceEngine(model, variables, decode="viterbi")
