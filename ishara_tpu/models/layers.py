@@ -28,6 +28,11 @@ from flax import linen as nn
 LN_EPS = 1e-6
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.95
+# The reference's Conformer ``ConvolutionModule`` (nb cell 5) creates its
+# BatchNormalization/LayerNormalization with Keras *defaults* (eps=1e-3,
+# BN momentum=0.99) unlike every other norm in the model — quirk kept.
+LN_EPS_DEFAULT = 1e-3
+BN_MOMENTUM_DEFAULT = 0.99
 
 
 def positional_encoding(maxlen: int, dim: int) -> np.ndarray:
@@ -223,7 +228,9 @@ class SqueezeformerConvModule(nn.Module):
 class ConformerConvModule(nn.Module):
     """pw Conv(2*dim) -> GLU -> 'same' DW conv -> BN -> pw Conv(dim)
     -> LN(x + residual)  (reference Keras ``ConvolutionModule``; note: no
-    activation after BN, post-norm residual)."""
+    activation after BN, post-norm residual, and *default* Keras norm
+    hyperparameters — eps=1e-3 for both BN and LN, BN momentum 0.99 — unlike
+    the 1e-6/0.95 used everywhere else; all quirks kept for weight parity)."""
 
     dim: int
     kernel_size: int = 31
@@ -240,8 +247,9 @@ class ConformerConvModule(nn.Module):
             feature_group_count=self.dim, dtype=self.dtype, name="dw",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not training, momentum=BN_MOMENTUM,
+            use_running_average=not training, momentum=BN_MOMENTUM_DEFAULT,
             epsilon=BN_EPS, dtype=self.dtype, name="bn",
         )(x)
         x = nn.Conv(self.dim, (1,), dtype=self.dtype, name="pw2")(x)
-        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln")(x + res)
+        return nn.LayerNorm(epsilon=LN_EPS_DEFAULT, dtype=self.dtype,
+                            name="ln")(x + res)

@@ -55,17 +55,42 @@ def _annotate(name: str) -> str:
     return name
 
 
+def _decode(s) -> str:
+    return s if isinstance(s, str) else s.decode()
+
+
 def load_h5_weights(path: str | Path) -> list[tuple[str, np.ndarray]]:
+    """Ordered [(name, array)] from a Keras h5 artifact.
+
+    The *legacy* HDF5 layout (Keras-2-era ``model.save_weights("model.h5")``
+    and any-era ``model.save("model.h5")`` — the format the reference's
+    ``CallbackEval`` checkpoints use, nb cell 9) carries exact ordering in the
+    ``layer_names``/``weight_names`` attrs: model layers in topological/call
+    order, and within each layer the trainable weights in creation order
+    followed by the non-trainable ones (BN moving stats). That ordering is
+    the contract :func:`import_reference_h5` consumes.
+
+    Keras-3 ``.weights.h5`` files have no order attrs; they fall back to
+    h5py traversal (alphabetical) and suit :func:`import_by_structure` only.
+    """
     import h5py
 
     out: list[tuple[str, np.ndarray]] = []
 
-    def visit(name, obj):
-        if isinstance(obj, h5py.Dataset):
-            out.append((_annotate(name), np.asarray(obj)))
-
     with h5py.File(path, "r") as f:
         root = f["model_weights"] if "model_weights" in f else f
+        if "layer_names" in root.attrs:  # legacy ordered layout
+            for lname in root.attrs["layer_names"]:
+                g = root[_decode(lname)]
+                for wname in g.attrs.get("weight_names", []):
+                    wname = _decode(wname)
+                    out.append((wname.split(":")[0], np.asarray(g[wname])))
+            return out
+
+        def visit(name, obj):
+            if isinstance(obj, h5py.Dataset):
+                out.append((_annotate(name), np.asarray(obj)))
+
         root.visititems(visit)
     return out
 
@@ -184,6 +209,196 @@ def import_by_structure(
         "unmatched_sources": [n for n, _ in remaining],
         "unfilled_targets": unfilled,
     }
+    return new_vars, report
+
+
+# ---------------------------------------------------------------------------
+# Deterministic full-model import for the reference ``get_model`` families.
+# ---------------------------------------------------------------------------
+
+# transform tags: how a Keras array maps onto the flax leaf layout
+_T_ID = "id"            # same layout (dense [in,out], conv1d [k,in,out], ...)
+_T_DW = "dwconv"        # Keras DepthwiseConv1D [k, C, 1] -> flax grouped [k, 1, C]
+
+
+def keras_weight_spec(cfg) -> list[tuple[str, tuple[str, ...], str]]:
+    """Ordered (collection, flax_path, transform) records matching the legacy
+    h5 weight order of the reference ``get_model`` (nb cell 7 / the
+    conv-hybrid-model.ipynb parameterization) for the given
+    :class:`~ishara_tpu.config.EncoderConfig`.
+
+    Order contract (verified empirically against Keras legacy saving):
+    model-level = functional call order; within each top-level layer =
+    sublayer *creation* order for trainable weights, then every contained
+    BatchNorm's (moving_mean, moving_variance) appended at the end of that
+    layer's group. Reference creation orders (nb cell 5):
+
+    * ``SqueezeformerBlock``: norm1, ffn1, norm2, mha, conv(norm, pw1, dw,
+      pw2, se), norm3, ffn2 — no BN.
+    * ``ConformerBlock``: ffn1, mha, conv(pw1, dw, pw2, bn, ln), ffn2,
+      layer_norm1, layer_norm2 — norms created *last*; one BN tail.
+    * ``Conv1DBlock`` is functional — expand/dwconv/bn/eca/project are five
+      separate top-level layers, so the bn stats sit directly after its
+      gamma/beta.
+    """
+    P, S = "params", "batch_stats"
+    recs: list[tuple[str, tuple[str, ...], str]] = []
+
+    def dense(p, bias=True):
+        recs.append((P, p + ("kernel",), _T_ID))
+        if bias:
+            recs.append((P, p + ("bias",), _T_ID))
+
+    def norm(p):
+        recs.append((P, p + ("scale",), _T_ID))
+        recs.append((P, p + ("bias",), _T_ID))
+
+    def bn_stats(p):
+        recs.append((S, p + ("mean",), _T_ID))
+        recs.append((S, p + ("var",), _T_ID))
+
+    def ffn(p):
+        dense(p + ("fc1",))
+        dense(p + ("fc2",))
+
+    def mha(p):
+        dense(p + ("qkv",), bias=False)
+        dense(p + ("proj",), bias=False)
+
+    def squeezeformer_block(name):
+        p = (name,)
+        norm(p + ("norm1",))
+        ffn(p + ("ffn1",))
+        norm(p + ("norm2",))
+        mha(p + ("mha",))
+        norm(p + ("conv", "norm"))
+        dense(p + ("conv", "pw1"))
+        recs.append((P, p + ("conv", "dw", "dwconv", "kernel"), _T_DW))
+        dense(p + ("conv", "pw2"))
+        dense(p + ("conv", "se", "fc1"))
+        dense(p + ("conv", "se", "fc2"))
+        norm(p + ("norm3",))
+        ffn(p + ("ffn2",))
+
+    def conformer_block(name):
+        p = (name,)
+        ffn(p + ("ffn1",))
+        mha(p + ("mha",))
+        dense(p + ("conv", "pw1"))
+        dense(p + ("conv", "dw"))       # grouped Conv1D: [k,1,C] both sides
+        dense(p + ("conv", "pw2"))      # ConvolutionModule creates pw2 BEFORE bn
+        norm(p + ("conv", "bn"))
+        norm(p + ("conv", "ln"))
+        ffn(p + ("ffn2",))
+        norm(p + ("ln1",))
+        norm(p + ("ln2",))
+        bn_stats(p + ("conv", "bn"))
+
+    def transformer_block(name):
+        p = (name,)
+        norm(p + ("ln1",))
+        mha(p + ("mha",))
+        norm(p + ("ln2",))
+        dense(p + ("fc1",), bias=False)
+        dense(p + ("fc2",), bias=False)
+
+    def conv1d_block(name):
+        p = (name,)
+        dense(p + ("expand",))
+        recs.append((P, p + ("dw", "dwconv", "kernel"), _T_DW))
+        norm(p + ("bn",))
+        bn_stats(p + ("bn",))
+        recs.append((P, p + ("eca", "conv", "kernel"), _T_ID))
+        dense(p + ("project",))
+
+    # stem (nb cell 7): Masking (no weights) -> stem_conv -> +pe -> stem_bn
+    dense(("stem_conv",), bias=False)
+    norm(("stem_bn",))
+    bn_stats(("stem_bn",))
+
+    v = cfg.variant
+    if v in ("squeezeformer", "hybrid"):
+        for i in range(cfg.num_squeeze_blocks):
+            squeezeformer_block(f"squeezeformer_{i}")
+    if v in ("conformer", "hybrid"):
+        for i in range(cfg.num_conform_blocks):
+            conformer_block(f"conformer_{i}")
+    if v == "conv_hybrid":
+        for i in range(cfg.num_squeeze_blocks):
+            for j in range(cfg.num_conv_per_block):
+                conv1d_block(f"conv_squeeze{i}_{j}")
+            squeezeformer_block(f"squeezeformer_{i}")
+        for i in range(cfg.num_conform_blocks):
+            for j in range(cfg.num_conv_per_block):
+                conv1d_block(f"conv_conform{i}_{j}")
+            conformer_block(f"conformer_{i}")
+    if v == "conv_transformer":
+        for i in range(cfg.num_squeeze_blocks):
+            for j in range(cfg.num_conv_per_block):
+                conv1d_block(f"conv_t{i}_{j}")
+            transformer_block(f"transformer_{i}")
+
+    dense(("top_conv",))
+    dense(("classifier",))
+    return recs
+
+
+def _transform(arr: np.ndarray, dst_shape: tuple, tag: str,
+               src_name: str) -> np.ndarray:
+    if tag == _T_DW and arr.ndim == 3 and arr.shape[-1] == 1:
+        arr = np.transpose(arr, (0, 2, 1))
+    if arr.shape != tuple(dst_shape):
+        raise ValueError(
+            f"shape mismatch importing {src_name!r}: source {arr.shape} vs "
+            f"target {tuple(dst_shape)} (transform={tag})")
+    return np.asarray(arr, np.float32)
+
+
+def import_reference_h5(path: str | Path, variables: dict, cfg) -> tuple[dict, dict]:
+    """Import a reference-architecture legacy-h5 checkpoint by exact order.
+
+    Unlike the best-effort :func:`import_by_structure`, this uses the
+    deterministic :func:`keras_weight_spec` ordering, verifies every shape,
+    and fails loudly on any misalignment — the "bit-for-fidelity against
+    TF/TFLite checkpoints" path. Returns (new_variables, report); the report's
+    ``unfilled_targets`` lists variable leaves the spec does not cover
+    (must be empty for a complete import).
+    """
+    sources = load_h5_weights(path)
+    spec = keras_weight_spec(cfg)
+    if len(sources) != len(spec):
+        raise ValueError(
+            f"weight count mismatch: h5 has {len(sources)} arrays, spec "
+            f"expects {len(spec)} — first sources: {[n for n, _ in sources[:6]]}")
+
+    # deep-copy into plain nested dicts we can assign into
+    def to_dict(t):
+        return {k: to_dict(v) for k, v in t.items()} if isinstance(t, dict) \
+            else np.asarray(t)
+
+    new_vars = {k: to_dict(v) for k, v in variables.items()}
+    matched = []
+    for (src_name, arr), (coll, p, tag) in zip(sources, spec):
+        node = new_vars[coll]
+        for key in p[:-1]:
+            if key not in node:
+                raise KeyError(
+                    f"spec path {coll}/{'/'.join(p)} not in variables "
+                    f"(source {src_name!r})")
+            node = node[key]
+        node[p[-1]] = _transform(arr, np.shape(node[p[-1]]), tag, src_name)
+        matched.append((coll + "/" + "/".join(p), src_name))
+
+    covered = {(coll, p) for coll, p, _ in spec}
+    unfilled = []
+    for coll, tree in variables.items():
+        flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+        for kpath, _leaf in flat:
+            p = tuple(k.key for k in kpath)
+            if (coll, p) not in covered:
+                unfilled.append(coll + "/" + "/".join(p))
+    report = {"matched": matched, "unmatched_sources": [],
+              "unfilled_targets": unfilled}
     return new_vars, report
 
 

@@ -81,6 +81,83 @@ def test_diff_variables_reports_leaves(keras_stem):
     assert any(v > 0 for v in diffs.values())
 
 
+# ---------------------------------------------------------------------------
+# Full-model reference parity gate (VERDICT r1 #1): build the reference
+# get_model in Keras (tests/keras_reference.py), random-init, save legacy h5,
+# import with the deterministic spec importer, require ZERO unfilled targets
+# and end-to-end logit parity.
+# ---------------------------------------------------------------------------
+
+from ishara_tpu.config import EncoderConfig  # noqa: E402
+from ishara_tpu.models.encoder import build_model  # noqa: E402
+from ishara_tpu.serve.import_weights import import_reference_h5  # noqa: E402
+
+
+def _parity_case(cfg, tmp_path, tol=1e-4):
+    import keras_reference as kref
+
+    tf.keras.utils.set_random_seed(7)
+    kmodel = kref.build_reference_model(cfg)
+    kref.perturb_batch_norms(kmodel, seed=3)
+    path = tmp_path / "ref.h5"
+    kmodel.save(path)
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, cfg.frame_len, cfg.input_dim)).astype(np.float32)
+    x[0, 120:] = 0.0  # padding frames -> exercises Masking(0.0) parity
+    x[1, 90:] = 0.0
+
+    model = build_model(cfg)
+    variables = model.init(jax.random.key(0), jnp.asarray(x))
+    imported, report = import_reference_h5(path, variables, cfg)
+    assert report["unfilled_targets"] == [], report["unfilled_targets"]
+    assert not report["unmatched_sources"]
+
+    got = np.asarray(model.apply(imported, jnp.asarray(x), training=False))
+    want = kmodel(x, training=False).numpy()
+    assert np.max(np.abs(got - want)) <= tol, (
+        f"logit maxdiff {np.max(np.abs(got - want))}")
+
+
+def test_full_hybrid_parity(tmp_path):
+    """The 0.728-family config: hybrid 4+4, dim=256, heads=8, exp=2, k=15
+    (conv-squeezeformer-conformer-test.ipynb cell 7)."""
+    cfg = EncoderConfig(variant="hybrid", dim=256, num_squeeze_blocks=4,
+                        num_conform_blocks=4, num_heads=8,
+                        expansion_factor=2, transformer_kernel_size=15,
+                        dropout=0.4, top_mult=1)
+    _parity_case(cfg, tmp_path)
+
+
+def test_full_squeezeformer_parity(tmp_path):
+    """conv-squeezeformer family (dim=256, 2 blocks, heads=4, top Dense 2x)."""
+    cfg = EncoderConfig(variant="squeezeformer", dim=256,
+                        num_squeeze_blocks=2, num_conform_blocks=0,
+                        num_heads=4, transformer_kernel_size=15,
+                        dropout=0.1, top_mult=2)
+    _parity_case(cfg, tmp_path)
+
+
+def test_full_conv_hybrid_parity(tmp_path):
+    """conv-hybrid-model.ipynb README API family, incl. Conv1DBlock stacks."""
+    cfg = EncoderConfig(variant="conv_hybrid", dim=64, num_squeeze_blocks=1,
+                        num_conform_blocks=1, kernel_sizes=(11, 5, 3),
+                        num_conv_per_block=3, num_heads=4,
+                        expansion_factor=2, transformer_kernel_size=15,
+                        dropout=0.2, top_mult=2, frame_len=64)
+    _parity_case(cfg, tmp_path)
+
+
+def test_full_conv_transformer_parity(tmp_path):
+    """conv-conformer.ipynb 1st-place-style family."""
+    cfg = EncoderConfig(variant="conv_transformer", dim=64,
+                        num_squeeze_blocks=2, num_conform_blocks=0,
+                        kernel_sizes=(11, 5, 3), num_conv_per_block=3,
+                        num_heads=4, expansion_factor=2, dropout=0.2,
+                        top_mult=1, frame_len=64)
+    _parity_case(cfg, tmp_path)
+
+
 def test_tflite_import(keras_stem, tmp_path):
     model_tf, _ = keras_stem
     conv = tf.lite.TFLiteConverter.from_keras_model(model_tf)
