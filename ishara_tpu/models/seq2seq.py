@@ -171,6 +171,35 @@ class RoPESqueezeformerBlock(nn.Module):
         return x
 
 
+class RoPEConformerBlock(nn.Module):
+    """MHSA -> conv module -> FFN, all residuals scaled by one shared
+    learnable scalar (integration.py:142-201 — the torch-path ConformerBlock;
+    single FFN with dim*4 expansion, unlike the sandwich Squeezeformer)."""
+
+    dim: int
+    num_heads: int = 8
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, training: bool = False):
+        det = not training
+        scale = self.param("scale", nn.initializers.ones, (1,))
+        h = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x)
+        h = RoPEMultiHeadAttention(self.dim, self.num_heads, self.dropout,
+                                   dtype=self.dtype, name="mhsa")(
+            h, mask=mask, deterministic=det)
+        h = nn.Dropout(self.dropout)(h, deterministic=det)
+        x = x + h * scale
+        h = nn.LayerNorm(epsilon=LN_EPS, name="conv_norm")(x)
+        x = x + _ConvModule(self.dim, self.dropout, self.dtype, name="conv")(
+            h, training=training) * scale
+        h = nn.LayerNorm(epsilon=LN_EPS, name="ff_norm")(x)
+        x = x + _FF(self.dim, self.dropout, self.dtype, name="ff")(
+            h, deterministic=det) * scale
+        return x
+
+
 class DecoderLayer(nn.Module):
     """Pre-norm transformer decoder layer (nn.TransformerDecoderLayer with
     norm_first=True): causal self-attn, cross-attn, FFN."""
@@ -235,6 +264,9 @@ class ASLTranslationModel(nn.Module):
     num_decoder_layers: int = 2
     num_heads: int = 8
     dropout: float = 0.1
+    # "squeezeformer" (reference default, integration.py:356) or "conformer"
+    # (the torch-path ConformerBlock, integration.py:142-201)
+    encoder_type: str = "squeezeformer"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -243,9 +275,14 @@ class ASLTranslationModel(nn.Module):
         self.rhand_extractor = FeatureExtractor(d // 4, dtype=self.dtype)
         self.lhand_extractor = FeatureExtractor(d // 4, dtype=self.dtype)
         self.pose_extractor = FeatureExtractor(d // 4, dtype=self.dtype)
+        if self.encoder_type == "conformer":
+            block = RoPEConformerBlock
+        elif self.encoder_type == "squeezeformer":
+            block = RoPESqueezeformerBlock
+        else:
+            raise ValueError(f"unknown encoder_type {self.encoder_type!r}")
         self.squeezeformer_layers = [
-            RoPESqueezeformerBlock(d, self.num_heads, self.dropout,
-                                   dtype=self.dtype)
+            block(d, self.num_heads, self.dropout, dtype=self.dtype)
             for _ in range(self.num_layers)
         ]
         self.confidence_head = nn.Dense(1, dtype=self.dtype)

@@ -53,6 +53,39 @@ def make_model(B=2, T=16):
     return model, variables, x, mask, tgt
 
 
+def test_conformer_encoder_forward_and_grad():
+    """Torch-path ConformerBlock (integration.py:142-201) as the seq2seq
+    encoder: forward shapes + finite training gradients, and a genuinely
+    different parameterization than the squeezeformer blocks."""
+    B, T = 2, 16
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (B, T, 92, 3)).astype(np.float32))
+    mask = jnp.ones((B, T), bool)
+    tgt = jnp.asarray([[1, 5, 6, 2, 0, 0]] * B, jnp.int32)
+    model = ASLTranslationModel(num_classes=62, feature_dim=64, num_heads=4,
+                                encoder_type="conformer")
+    variables = model.init(jax.random.key(0), x, mask, tgt)
+    blk = variables["params"]["squeezeformer_layers_0"]
+    # conformer layout: single FFN ("ff"), no ff1/ff2 sandwich
+    assert "ff" in blk and "ff1" not in blk and "scale" in blk
+
+    (out, conf) = model.apply(variables, x, mask, tgt)
+    assert out.shape == (B, 6, 62) and conf.shape == (B,)
+
+    def loss_fn(params):
+        (logits, confidence), updates = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, mask, tgt, training=True,
+            rngs={"dropout": jax.random.key(1)}, mutable=["batch_stats"])
+        return jnp.mean(logits ** 2) + jnp.mean(confidence ** 2)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    norms = jax.tree_util.tree_map(lambda g: float(jnp.sum(jnp.abs(g))), grads)
+    flat = jax.tree_util.tree_leaves(norms)
+    assert all(np.isfinite(v) for v in flat)
+    assert sum(v > 0 for v in flat) > len(flat) * 0.8
+
+
 def test_forward_shapes():
     model, variables, x, mask, tgt = make_model()
     (out, conf) = model.apply(variables, x, mask, tgt)
