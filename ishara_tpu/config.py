@@ -45,6 +45,13 @@ class EncoderConfig:
     blank_id: int = 59
     dtype: str = "float32"     # computation dtype; params stay float32
     remat: bool = False        # jax.checkpoint each block: trade FLOPs for HBM
+    # canonicalize handedness in preprocess (nb4 process_landmarks dominant-
+    # hand selection + inference_v3 flip_lr); part of the data contract the
+    # weights are trained under, hence model config
+    dominant_hand: bool = False
+    # route MHSA through the Pallas flash kernel (ops/attention.py) instead
+    # of XLA einsum; measured per-size — see RESULTS.md kernel measurements
+    use_flash: bool = False
 
 
 @dataclass
@@ -61,6 +68,9 @@ class TrainConfig:
     radam_sma_threshold: float = 4.0
     grad_clip_norm: float = 1.0
     aug_prob: float = 0.2
+    # LR-flip augmentation prob (reference data_loader.py p=0.5); default off —
+    # it fights EncoderConfig.dominant_hand canonicalization, enable only one
+    lr_flip_prob: float = 0.0
     seed: int = 42
     steps_per_epoch: int = 1000      # set from dataset at runtime
     checkpoint_every_epochs: int = 40
@@ -80,6 +90,10 @@ class IsharaConfig:
     model: EncoderConfig = field(default_factory=EncoderConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    # which reference pipeline family: "ctc" (TF/Keras notebook path) or
+    # "translation" (torch integration.py encoder-decoder path); recorded in
+    # export bundles so deployment rebuilds the right model
+    task: str = "ctc"
 
     def to_json(self, path: str | Path | None = None) -> str:
         s = json.dumps(dataclasses.asdict(self), indent=2)
@@ -97,6 +111,7 @@ class IsharaConfig:
             model=model,
             train=TrainConfig(**raw.get("train", {})),
             mesh=MeshConfig(**raw.get("mesh", {})),
+            task=raw.get("task", "ctc"),
         )
 
 
@@ -107,34 +122,34 @@ class IsharaConfig:
 def baseline_config(index: int) -> IsharaConfig:
     """1: tiny squeezeformer CTC smoke; 2: squeezeformer mini-shard training;
     3: hybrid 2+2 full training; 4: beam decode + eval; 5: batch-1 serving."""
+    # Training presets (1-4) default to bf16 compute: measured ~1.5x faster
+    # on v5e and convergence-validated (RESULTS.md); params/optimizer state
+    # stay f32. Preset 5 (serving) stays f32 for exact-parity decoding —
+    # measured a wash for batch-1 latency anyway.
     cfgs = {
         1: IsharaConfig(
             model=EncoderConfig(variant="squeezeformer", dim=256,
                                 num_squeeze_blocks=2, num_conform_blocks=0,
                                 num_heads=4, transformer_kernel_size=15,
-                                dropout=0.1, top_mult=2),
+                                dropout=0.1, top_mult=2, dtype="bfloat16"),
         ),
         2: IsharaConfig(
             model=EncoderConfig(variant="squeezeformer", dim=256,
                                 num_squeeze_blocks=8, num_conform_blocks=0,
                                 num_heads=4, transformer_kernel_size=15,
-                                dropout=0.1, top_mult=2),
+                                dropout=0.1, top_mult=2, dtype="bfloat16"),
         ),
         3: IsharaConfig(
             model=EncoderConfig(variant="conv_hybrid", dim=256,
                                 num_squeeze_blocks=2, num_conform_blocks=2,
                                 kernel_sizes=(11, 5, 3), num_conv_per_block=3,
-                                dropout=0.2, top_mult=2),
+                                dropout=0.2, top_mult=2, dtype="bfloat16"),
         ),
         4: IsharaConfig(
             model=EncoderConfig(variant="hybrid", dim=256,
                                 num_squeeze_blocks=4, num_conform_blocks=4,
-                                dropout=0.4, top_mult=1),
+                                dropout=0.4, top_mult=1, dtype="bfloat16"),
         ),
-        # measured on v5e (honest slope methodology, RESULTS.md): bf16 is
-        # ~1.5x faster for training and a wash for batch-1 serving; f32 is
-        # kept as the serving default for exact-parity decoding, bf16 via
-        # EncoderConfig(dtype="bfloat16") for training throughput
         5: IsharaConfig(
             model=EncoderConfig(variant="hybrid", dim=256,
                                 num_squeeze_blocks=4, num_conform_blocks=4,

@@ -110,31 +110,14 @@ def temporal_mask(
     return jnp.where(hit[:, None], jnp.nan, x)
 
 
-# Flip permutation: swap right<->left hand and pose blocks within each
-# coordinate (layout rhand(21) | lhand(21) | pose(10: LPOSE 5, RPOSE 5) |
-# lip(40), see landmarks._coord_cols).
-def _flip_perm() -> jnp.ndarray:
-    import numpy as np
-
-    n = lm.N_LANDMARKS
-    perm = np.arange(n)
-    perm[0:21], perm[21:42] = np.arange(21, 42), np.arange(0, 21)
-    # pose block: cols 42..51 ordered LPOSE(5) then RPOSE(5)
-    perm[42:47], perm[47:52] = np.arange(47, 52), np.arange(42, 47)
-    full = np.concatenate([perm, perm + n, perm + 2 * n])
-    return jnp.asarray(full)
-
-
-_FLIP_PERM = _flip_perm()
-
-
 def lr_flip(key: jax.Array, x: jnp.ndarray, prob: float = 0.5) -> jnp.ndarray:
-    """Mirror x-coordinates about 0.5 and swap left/right hand+pose groups."""
+    """Mirror x-coordinates about 0.5 and swap left/right hand+pose groups
+    (reference ``data_loader.py:128-137`` LR-flip aug; mirror semantics in
+    :func:`ishara_tpu.preprocess.pipeline.mirror_lr`)."""
+    from .pipeline import mirror_lr
+
     apply = jax.random.uniform(key) < prob
-    flipped = x[:, _FLIP_PERM]
-    n = lm.N_LANDMARKS
-    flipped = flipped.at[:, :n].set(1.0 - flipped[:, :n])
-    return jnp.where(apply, flipped, x)
+    return jnp.where(apply, mirror_lr(x), x)
 
 
 def finger_dropout(
@@ -153,9 +136,14 @@ def augment(
     x: jnp.ndarray,
     length: jnp.ndarray,
     prob: float = 0.2,
+    flip_prob: float = 0.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Composite augmentation applied with the reference's 20% gate for the
-    warp plus independent gates for the rest."""
+    warp plus independent gates for the rest.
+
+    ``flip_prob`` enables the LR-flip aug (reference data_loader.py p=0.5);
+    default 0.0 because flipping fights the ``dominant_hand`` canonicalization
+    — enable one or the other (TrainConfig.lr_flip_prob)."""
     (k_warp, k_aff, k_affp, k_tm, k_tmp, k_flip, k_fd, k_fdp,
      k_sh, k_shp) = jax.random.split(key, 10)
     x, length = time_warp(k_warp, x, length, prob=prob)
@@ -168,5 +156,6 @@ def augment(
     x = jnp.where(
         jax.random.uniform(k_fdp) < prob, finger_dropout(k_fd, x), x
     )
-    del k_flip  # LR flip is dataset-level (signer handedness); off by default
+    if flip_prob > 0.0:
+        x = lr_flip(k_flip, x, prob=flip_prob)
     return x, length

@@ -89,6 +89,58 @@ def resample_or_pad(x: jnp.ndarray, length: jnp.ndarray, frame_len: int) -> jnp.
     return jnp.where(length <= frame_len, padded, resized)
 
 
+# Mirror permutation: swap right<->left hand blocks and RPOSE<->LPOSE blocks
+# within each coordinate (layout rhand(21) | lhand(21) | LPOSE(5) | RPOSE(5) |
+# lip(40); the pose lists are anatomically mirrored pairs, so a block swap is
+# elementwise-correct). Lip columns are left untouched, matching the
+# reference's flip (data_loader.py:128-137 swaps only the hand blocks).
+def _mirror_perm() -> jnp.ndarray:
+    n = lm.N_LANDMARKS
+    perm = np.arange(n)
+    perm[0:21], perm[21:42] = np.arange(21, 42), np.arange(0, 21)
+    perm[42:47], perm[47:52] = np.arange(47, 52), np.arange(42, 47)
+    return jnp.asarray(np.concatenate([perm, perm + n, perm + 2 * n]))
+
+
+_MIRROR_PERM = _mirror_perm()
+
+
+def mirror_lr(x: jnp.ndarray) -> jnp.ndarray:
+    """Mirror a [T, 276] sequence left<->right: swap hand/pose blocks and
+    reflect x-coordinates about 0.5 (MediaPipe coords live in [0, 1]).
+
+    Involution: ``mirror_lr(mirror_lr(x)) == x``. The reference's torch-path
+    flip negates x (``data_loader.py:137`` ``*= -1``) instead of reflecting
+    about the frame center — a quirk NOT kept, since negation moves landmarks
+    out of the normalized frame; 0.5-reflection composes correctly with the
+    precomputed per-group stats and the serve-side flip.
+    """
+    flipped = x[:, _MIRROR_PERM]
+    n = lm.N_LANDMARKS
+    return flipped.at[:, :n].set(1.0 - flipped[:, :n])
+
+
+def dominant_hand_mirror(
+    x: jnp.ndarray, length: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Canonicalize handedness: if the LEFT hand has more signal (fewer NaNs
+    over the valid frames) than the right, mirror the sequence so the dominant
+    hand is always the right hand.
+
+    Behavioral contract: nb4 ``process_landmarks`` dominant-hand selection
+    (fewer-NaNs hand wins) + ``inference tests/inference_v3.py:21-30``
+    left-hand detect -> ``flip_lr``, fused into the jitted preprocess.
+    Returns (x, left_was_dominant flag).
+    """
+    valid = (jnp.arange(x.shape[0]) < length)[:, None]
+    r_nan = jnp.sum(
+        jnp.isnan(jnp.take(x, lm.GROUP_IDX["rhand"].ravel(), axis=1)) & valid)
+    l_nan = jnp.sum(
+        jnp.isnan(jnp.take(x, lm.GROUP_IDX["lhand"].ravel(), axis=1)) & valid)
+    left_dominant = l_nan < r_nan
+    return jnp.where(left_dominant, mirror_lr(x), x), left_dominant
+
+
 def thin_frames(
     x: jnp.ndarray, length: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -134,13 +186,19 @@ def preprocess(
     stats: GroupStats,
     frame_len: int = lm.FRAME_LEN,
     thin: bool = False,
+    dominant_hand: bool = False,
 ) -> jnp.ndarray:
     """Full preprocessing: [Tmax, 276] raw + valid length -> [frame_len, 276].
 
     ``thin=True`` applies the inference-path frame thinning
     (``pre_process00``); training uses ``thin=False`` (``pre_process0`` path,
     augmentation handled separately in :mod:`ishara_tpu.preprocess.augment`).
+    ``dominant_hand=True`` first canonicalizes handedness by mirroring
+    left-dominant sequences (:func:`dominant_hand_mirror`) — must be set
+    consistently between training and serving.
     """
+    if dominant_hand:
+        x, _ = dominant_hand_mirror(x, length)
     if thin:
         x, length = thin_frames(x, length)
     groups = split_groups(x)
@@ -156,11 +214,12 @@ def preprocess_batch(
     stats: GroupStats,
     frame_len: int = lm.FRAME_LEN,
     thin: bool = False,
+    dominant_hand: bool = False,
 ) -> jnp.ndarray:
     """vmapped :func:`preprocess` over a [B, Tmax, 276] batch."""
-    return jax.vmap(lambda xi, li: preprocess(xi, li, stats, frame_len, thin))(
-        x, lengths
-    )
+    return jax.vmap(
+        lambda xi, li: preprocess(xi, li, stats, frame_len, thin, dominant_hand)
+    )(x, lengths)
 
 
 def frame_mask(x: jnp.ndarray) -> jnp.ndarray:

@@ -55,15 +55,17 @@ def mediapipe_to_frame(results, pose_results=None, face_results=None) -> np.ndar
 
 def nan_filter_left_hand_flip(frames: np.ndarray) -> np.ndarray:
     """inference_v3.py semantics: if the left hand has more signal than the
-    right, mirror x and swap hands so the dominant hand is 'right'."""
-    from ..preprocess.augment import _FLIP_PERM
+    right, mirror x and swap hands so the dominant hand is 'right' — the
+    exact mirror used by the fused training/serving canonicalization
+    (preprocess.pipeline.mirror_lr / dominant_hand_mirror)."""
+    import jax.numpy as jnp
+
+    from ..preprocess.pipeline import mirror_lr
 
     rh = frames[:, lm.GROUP_IDX["rhand"][:, 0]]
     lh = frames[:, lm.GROUP_IDX["lhand"][:, 0]]
     if np.isnan(lh).sum() < np.isnan(rh).sum():
-        flipped = frames[:, np.asarray(_FLIP_PERM)]
-        flipped[:, : lm.N_LANDMARKS] = 1.0 - flipped[:, : lm.N_LANDMARKS]
-        return flipped
+        return np.asarray(mirror_lr(jnp.asarray(frames, jnp.float32)))
     return frames
 
 
