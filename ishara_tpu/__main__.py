@@ -21,10 +21,14 @@ from pathlib import Path
 def _load_dataset(args, split="train"):
     if args.data_dir:
         from .data.dataset import ParquetASLFR
+        from .parallel.distributed import process_shard
 
+        # per-host corpus shard; (0, 1) single-process so always safe
+        pidx, pcount = process_shard()
         return ParquetASLFR(
             args.data_dir, fold=args.fold,
             split=split, max_sequences=args.max_sequences,
+            process_index=pidx, process_count=pcount,
         )
     from .data.synthetic import SyntheticASLFR
 
@@ -47,19 +51,33 @@ def _config(args):
     return IsharaConfig()
 
 
+def _tokenizer(task: str):
+    from .data.tokenizer import CTCTokenizer, Seq2SeqTokenizer
+
+    return Seq2SeqTokenizer() if task == "translation" else CTCTokenizer()
+
+
 def cmd_train(args):
     import jax
 
-    from .data.tokenizer import CTCTokenizer
     from .parallel.mesh import make_mesh
     from .train.trainer import Trainer
+
+    if args.multihost:
+        from .parallel.distributed import initialize_distributed
+
+        initialize_distributed()
 
     cfg = _config(args)
     if args.epochs:
         cfg.train.num_epochs = args.epochs
     if args.batch_size:
         cfg.train.batch_size = args.batch_size
-    tok = CTCTokenizer()
+    if getattr(args, "task", None):
+        cfg.task = args.task
+    tok = _tokenizer(cfg.task)
+    if cfg.task == "translation":
+        cfg.model.num_classes = tok.vocab_size
     train_ds = _load_dataset(args, "train")
     val_ds = _load_dataset(args, "val")
     mesh = make_mesh() if args.data_parallel and jax.device_count() > 1 else None
@@ -69,7 +87,7 @@ def cmd_train(args):
 
         stats = compute_group_stats(train_ds, num_sequences=500)
     trainer = Trainer(cfg, train_ds, val_ds, tok, stats=stats,
-                      workdir=args.workdir, mesh=mesh)
+                      workdir=args.workdir, mesh=mesh, task=cfg.task)
     if args.resume:
         trainer.resume()
     history = trainer.train()
@@ -78,8 +96,7 @@ def cmd_train(args):
 
 def cmd_export(args):
     from .config import IsharaConfig
-    from .models.encoder import build_model
-    from .serve.export import export_model
+    from .serve.export import build_task_model, export_model
     from .train.checkpoint import CheckpointManager
     from .train.optim import make_optimizer
     from .train.state import TrainState
@@ -89,11 +106,17 @@ def cmd_export(args):
 
     cfg = IsharaConfig.from_json(Path(args.workdir) / "config.json") \
         if (Path(args.workdir) / "config.json").exists() else _config(args)
-    model = build_model(cfg.model)
+    model, init = build_task_model(cfg)
     tx, _ = make_optimizer(cfg.train)
-    sample = jnp.zeros((1, cfg.model.frame_len, cfg.model.input_dim),
-                       jnp.float32)
-    state = TrainState.create(model, tx, sample)
+    variables = init(jax.random.key(0))
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        slow_params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        tx=tx, apply_fn=model.apply,
+    )
     ckpt = CheckpointManager(Path(args.workdir) / "ckpt")
     best = ckpt.best_step()
     if best is not None:
@@ -109,27 +132,35 @@ def cmd_export(args):
 
 
 def cmd_eval(args):
-    from .data.tokenizer import CTCTokenizer
+    from .config import IsharaConfig
     from .evaluation.harness import run_harness
     from .serve.export import load_engine
 
+    cfg = IsharaConfig.from_json(Path(args.bundle) / "config.json")
     engine = load_engine(args.bundle)
-    tok = CTCTokenizer()
+    tok = _tokenizer(cfg.task)
     ds = _load_dataset(args, "val")
     result = run_harness(engine, ds, tok, num_sequences=args.num_sequences,
-                         apply_filter=args.dominant_hand_filter)
+                         apply_filter=args.dominant_hand_filter,
+                         translation=cfg.task == "translation")
     print(json.dumps(result.as_dict()))
 
 
 def cmd_infer(args):
     import numpy as np
 
-    from .data.tokenizer import CTCTokenizer
+    from .config import IsharaConfig
     from .serve.export import load_engine
 
+    cfg = IsharaConfig.from_json(Path(args.bundle) / "config.json")
     engine = load_engine(args.bundle)
     x = np.load(args.input).astype(np.float32)
-    print(engine.predict_text(x, CTCTokenizer()))
+    out = engine.predict_text(x, _tokenizer(cfg.task))
+    if cfg.task == "translation":
+        text, conf = out
+        print(json.dumps({"text": text, "confidence": conf}))
+    else:
+        print(out)
 
 
 def cmd_bench(args):
@@ -156,10 +187,16 @@ def main(argv=None):
 
     sp = sub.add_parser("train")
     common(sp)
+    sp.add_argument("--task", choices=["ctc", "translation"], default=None,
+                    help="pipeline family (default: config's task, ctc)")
     sp.add_argument("--workdir", default="runs/default")
     sp.add_argument("--epochs", type=int, default=None)
     sp.add_argument("--batch-size", type=int, default=None)
     sp.add_argument("--data-parallel", action="store_true")
+    sp.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed (one process per host; "
+                         "coordinator via ISHARA_COORDINATOR/NUM_PROCESSES/"
+                         "PROCESS_ID or TPU-pod auto-detection)")
     sp.add_argument("--compute-stats", action="store_true")
     sp.add_argument("--resume", action="store_true")
     sp.set_defaults(fn=cmd_train)

@@ -61,8 +61,13 @@ def run_harness(
     num_sequences: int = 1000,
     apply_filter: bool = False,
     warmup: int = 3,
+    translation: bool = False,
 ) -> HarnessResult:
-    """Evaluate ``engine`` (InferenceEngine) over up to ``num_sequences``."""
+    """Evaluate a serving engine over up to ``num_sequences``.
+
+    ``translation=False``: CTC InferenceEngine (returns (ids, count)).
+    ``translation=True``: TranslationEngine (returns (ids, confidence); the
+    Seq2SeqTokenizer stops decoding at eos itself)."""
     indices = list(range(min(num_sequences, len(dataset))))
     if apply_filter:
         indices = dominant_hand_filter(dataset, indices)
@@ -74,9 +79,14 @@ def run_harness(
     for i in indices:
         x, phrase = dataset.render(i)
         t0 = time.perf_counter()
-        ids, count = engine(x)
+        out = engine(x)
         lat.append((time.perf_counter() - t0) * 1e3)
-        preds.append(tokenizer.decode(ids[:count]))
+        if translation:
+            ids, _conf = out
+            preds.append(tokenizer.decode(ids))
+        else:
+            ids, count = out
+            preds.append(tokenizer.decode(ids[:count]))
         targets.append(phrase)
 
     return HarnessResult(

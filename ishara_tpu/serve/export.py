@@ -113,20 +113,55 @@ def _dequantize_tree(tree):
     return jax.tree_util.tree_map(dq, tree, is_leaf=is_q)
 
 
+def build_task_model(config: IsharaConfig):
+    """Model factory covering BOTH reference families: ``config.task`` "ctc"
+    -> encoder zoo (build_model); "translation" -> ASLTranslationModel
+    (integration.py path). Returns (model, init_template_fn)."""
+    import jax
+
+    mcfg = config.model
+    if config.task == "translation":
+        from ..data.landmarks import N_LANDMARKS
+        from ..models.seq2seq import ASLTranslationModel
+
+        model = ASLTranslationModel(
+            num_classes=mcfg.num_classes,
+            feature_dim=mcfg.dim,
+            num_heads=mcfg.num_heads,
+            dropout=mcfg.dropout,
+            encoder_type=("conformer" if mcfg.variant == "conformer"
+                          else "squeezeformer"),
+        )
+
+        def init(key):
+            x = jnp.zeros((1, mcfg.frame_len, N_LANDMARKS, 3), jnp.float32)
+            mask = jnp.ones((1, mcfg.frame_len), bool)
+            tgt = jnp.zeros((1, 4), jnp.int32)
+            return model.init(key, x, mask, tgt)
+
+        return model, init
+
+    model = build_model(mcfg)
+
+    def init(key):
+        sample = jnp.zeros((1, mcfg.frame_len, mcfg.input_dim), jnp.float32)
+        return model.init(key, sample)
+
+    return model, init
+
+
 def load_bundle(directory: str | Path):
     """-> (config, variables, stats)."""
     directory = Path(directory)
     config = IsharaConfig.from_json(directory / "config.json")
-    model = build_model(config.model)
-    sample = jnp.zeros((1, config.model.frame_len, config.model.input_dim),
-                       jnp.float32)
+    model, init = build_task_model(config)
     import jax
 
     blob = (directory / "params.msgpack").read_bytes()
     if (directory / "quantized.json").exists():
         variables = _dequantize_tree(serialization.msgpack_restore(blob))
     else:
-        template = model.init(jax.random.key(0), sample)
+        template = init(jax.random.key(0))
         variables = serialization.from_bytes(template, blob)
     # params are used in fp32 compute; cast back up
     variables = _cast_floats(variables, jnp.float32)
@@ -140,11 +175,20 @@ def load_bundle(directory: str | Path):
 
 
 def load_engine(directory: str | Path, **engine_kwargs):
-    """Rebuild the compiled batch-1 serving engine from an export bundle."""
+    """Rebuild the compiled batch-1 serving engine from an export bundle —
+    InferenceEngine for the CTC family, TranslationEngine for the
+    encoder-decoder family (both fuse preprocess+model+decode into one
+    executable)."""
+    config, variables, stats = load_bundle(directory)
+    model, _ = build_task_model(config)
+    if config.task == "translation":
+        from .translation_engine import TranslationEngine
+
+        return TranslationEngine(model, variables, stats=stats,
+                                 frame_len=config.model.frame_len,
+                                 **engine_kwargs)
     from .engine import InferenceEngine
 
-    config, variables, stats = load_bundle(directory)
-    model = build_model(config.model)
     return InferenceEngine(model, variables, stats=stats, **engine_kwargs)
 
 
