@@ -32,6 +32,10 @@ class TrainState(struct.PyTreeNode):
     apply_fn: Callable = struct.field(pytree_node=False)
     lookahead_sync_period: int = struct.field(pytree_node=False, default=5)
     lookahead_alpha: float = struct.field(pytree_node=False, default=0.5)
+    # in-program count of skipped non-finite batches: EVERY skip is recorded
+    # on device, so host-side loss sampling can stay sparse
+    nonfinite_count: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
     @classmethod
     def create(cls, model, tx, sample_input, rng=None, **kw):
@@ -86,6 +90,7 @@ def _finish_step(state: "TrainState", loss, grads, new_batch_stats):
         slow_params=_select(ok, new_slow, state.slow_params),
         batch_stats=_select(ok, new_batch_stats, state.batch_stats),
         opt_state=_select(ok, new_opt_state, state.opt_state),
+        nonfinite_count=state.nonfinite_count + jnp.where(ok, 0, 1),
     )
     metrics = {"loss": loss, "grad_norm": grad_norm}
     return new_state, metrics
@@ -115,13 +120,16 @@ def ctc_train_step(
 
 
 def make_fused_ctc_train_step(
-    stats, frame_len: int, aug_prob: float = 0.2, blank_id: int = 59
+    stats, frame_len: int, aug_prob: float = 0.2, blank_id: int = 59,
+    lr_flip_prob: float = 0.0, dominant_hand: bool = False,
 ):
     """Train step with augmentation + preprocessing fused into the same XLA
     program: batch arrives raw ([B, Tmax, 276] + lengths), the whole
     augment -> resample/normalize -> forward -> CTC -> backward -> update
     chain is one dispatch (the reference splits this across tf.data threads
-    and the training graph)."""
+    and the training graph). ``dominant_hand`` canonicalizes handedness in
+    the fused preprocess (must match serving); ``lr_flip_prob`` enables the
+    LR-flip aug."""
     from ..preprocess.augment import augment
     from ..preprocess.pipeline import preprocess
 
@@ -132,8 +140,10 @@ def make_fused_ctc_train_step(
         keys = jax.random.split(aug_rng, B)
 
         def prep(key, raw, length):
-            raw, length = augment(key, raw, length, prob=aug_prob)
-            return preprocess(raw, length, stats, frame_len)
+            raw, length = augment(key, raw, length, prob=aug_prob,
+                                  flip_prob=lr_flip_prob)
+            return preprocess(raw, length, stats, frame_len,
+                              dominant_hand=dominant_hand)
 
         x = jax.vmap(prep)(keys, batch["raw"], batch["lengths"])
 
@@ -155,16 +165,18 @@ def make_fused_ctc_train_step(
     return step
 
 
-def make_fused_ctc_eval_step(stats, frame_len: int, blank_id: int = 59):
+def make_fused_ctc_eval_step(stats, frame_len: int, blank_id: int = 59,
+                             dominant_hand: bool = False):
     """Eval step: preprocess (no aug) -> forward -> loss -> greedy decode,
     one program."""
     from ..decode.greedy import greedy_decode_batch
     from ..preprocess.pipeline import preprocess
 
     def step(state: TrainState, batch: dict):
-        x = jax.vmap(lambda r, l: preprocess(r, l, stats, frame_len))(
-            batch["raw"], batch["lengths"]
-        )
+        x = jax.vmap(
+            lambda r, l: preprocess(r, l, stats, frame_len,
+                                    dominant_hand=dominant_hand)
+        )(batch["raw"], batch["lengths"])
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             x, training=False,

@@ -78,10 +78,13 @@ class Trainer:
                 lookahead_sync_period=lookahead,
             )
             train_step = make_fused_ctc_train_step(
-                self.stats, mcfg.frame_len, tcfg.aug_prob, mcfg.blank_id
+                self.stats, mcfg.frame_len, tcfg.aug_prob, mcfg.blank_id,
+                lr_flip_prob=tcfg.lr_flip_prob,
+                dominant_hand=mcfg.dominant_hand,
             )
             eval_step = make_fused_ctc_eval_step(
-                self.stats, mcfg.frame_len, mcfg.blank_id
+                self.stats, mcfg.frame_len, mcfg.blank_id,
+                dominant_hand=mcfg.dominant_hand,
             )
         elif task == "translation":
             from ..models.seq2seq import ASLTranslationModel
@@ -95,6 +98,9 @@ class Trainer:
                 feature_dim=mcfg.dim,
                 num_heads=mcfg.num_heads,
                 dropout=mcfg.dropout,
+                # model.variant selects the torch-path encoder family too
+                encoder_type=("conformer" if mcfg.variant == "conformer"
+                              else "squeezeformer"),
             )
             x0 = jnp.zeros((1, mcfg.frame_len, 92, 3), jnp.float32)
             m0 = jnp.ones((1, mcfg.frame_len), bool)
@@ -185,10 +191,10 @@ class Trainer:
                 loss = float(metrics["loss"])
                 # non-finite batches are skipped inside the jitted step
                 # (update gated on isfinite — the reference's analogue is the
-                # OOM catch-and-continue, integration.py:779-788)
+                # OOM catch-and-continue, integration.py:779-788); EVERY skip
+                # is counted on-device in state.nonfinite_count, this sparse
+                # host sampling is just for the loss log
                 if not np.isfinite(loss):
-                    self.logger.log({"skipped_nonfinite_batch": bi,
-                                     "epoch": epoch})
                     continue
                 losses.append(loss)
                 step = int(self.state.step)
@@ -231,7 +237,7 @@ class Trainer:
                 all_preds, all_targets, "max_len"),
             "val_score_pooled": normalized_levenshtein(
                 all_preds, all_targets, "pooled"),
-            "examples": list(zip(all_preds[:10], all_targets[:10])),
+            "examples": list(zip(all_preds[:32], all_targets[:32])),
         }
         return result
 
@@ -262,13 +268,16 @@ class Trainer:
                 t0 = time.time()
                 train_loss = self.train_epoch(epoch, rng)
                 rec = {"epoch": epoch, "train_loss": train_loss,
-                       "epoch_time_s": round(time.time() - t0, 1)}
+                       "epoch_time_s": round(time.time() - t0, 1),
+                       # exact on-device skip count (cumulative)
+                       "nonfinite_batches": int(self.state.nonfinite_count)}
                 if (epoch + 1) % tcfg.validate_every_epochs == 0 \
                         or epoch == num_epochs - 1:
                     val = self.validate()
                     examples = val.pop("examples")
                     rec.update(val)
-                    for p, t in examples[:5]:
+                    # reference CallbackEval prints 32 val pairs (nb cell 9)
+                    for p, t in examples[:32]:
                         print(f"  pred={p!r} target={t!r}")
                     if val["val_score"] > self.best_score:
                         self.best_score = val["val_score"]
