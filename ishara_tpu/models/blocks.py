@@ -63,6 +63,7 @@ class SqueezeformerBlock(nn.Module):
     expansion_factor: int = 4
     kernel_size: int = 31
     dropout: float = 0.1
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -77,7 +78,8 @@ class SqueezeformerBlock(nn.Module):
         res = x
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)
         h = MultiHeadSelfAttention(self.dim, self.num_heads, self.dropout,
-                                   dtype=self.dtype, name="mha")(
+                                   dtype=self.dtype,
+                                   use_flash=self.use_flash, name="mha")(
             h, mask=mask, deterministic=det)
         x = res + nn.Dropout(self.dropout)(h, deterministic=det)
 
@@ -105,6 +107,7 @@ class ConformerBlock(nn.Module):
     kernel_size: int = 31
     attn_dropout: float = 0.1
     drop_rate: float = 0.1
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -120,7 +123,8 @@ class ConformerBlock(nn.Module):
         res = x
         h = ln1(x)
         h = MultiHeadSelfAttention(self.dim, self.num_heads, self.attn_dropout,
-                                   dtype=self.dtype, name="mha")(
+                                   dtype=self.dtype,
+                                   use_flash=self.use_flash, name="mha")(
             h, mask=mask, deterministic=det)
         x = res + h
 
@@ -143,6 +147,7 @@ class TransformerBlock(nn.Module):
     expand: int = 4
     attn_dropout: float = 0.2
     drop_rate: float = 0.2
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -151,7 +156,8 @@ class TransformerBlock(nn.Module):
         res = x
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln1")(x)
         h = MultiHeadSelfAttention(self.dim, self.num_heads, self.attn_dropout,
-                                   dtype=self.dtype, name="mha")(
+                                   dtype=self.dtype,
+                                   use_flash=self.use_flash, name="mha")(
             h, mask=mask, deterministic=det)
         h = RowDropout(self.drop_rate, name="drop1")(h, deterministic=det)
         x = res + h

@@ -65,32 +65,37 @@ class IsharaEncoder(nn.Module):
                 x = SqueezeformerBlockR(
                     cfg.dim, cfg.num_heads, cfg.expansion_factor,
                     cfg.transformer_kernel_size, cfg.dropout, dtype=dtype,
+                    use_flash=cfg.use_flash,
                     name=f"squeezeformer_{i}")(x, mask, training)
         if v in ("conformer", "hybrid"):
             for i in range(cfg.num_conform_blocks):
                 x = ConformerBlockR(
                     cfg.dim, cfg.num_heads, cfg.expansion_factor,
                     cfg.transformer_kernel_size, cfg.dropout, cfg.dropout,
-                    dtype=dtype, name=f"conformer_{i}")(x, mask, training)
+                    dtype=dtype, use_flash=cfg.use_flash,
+                    name=f"conformer_{i}")(x, mask, training)
         if v == "conv_hybrid":
             for i in range(cfg.num_squeeze_blocks):
                 x = conv_stack(x, f"squeeze{i}")
                 x = SqueezeformerBlockR(
                     cfg.dim, cfg.num_heads, cfg.expansion_factor,
                     cfg.transformer_kernel_size, cfg.dropout, dtype=dtype,
+                    use_flash=cfg.use_flash,
                     name=f"squeezeformer_{i}")(x, mask, training)
             for i in range(cfg.num_conform_blocks):
                 x = conv_stack(x, f"conform{i}")
                 x = ConformerBlockR(
                     cfg.dim, cfg.num_heads, cfg.expansion_factor,
                     cfg.transformer_kernel_size, cfg.dropout, cfg.dropout,
-                    dtype=dtype, name=f"conformer_{i}")(x, mask, training)
+                    dtype=dtype, use_flash=cfg.use_flash,
+                    name=f"conformer_{i}")(x, mask, training)
         if v == "conv_transformer":
             for i in range(cfg.num_squeeze_blocks):
                 x = conv_stack(x, f"t{i}")
                 x = TransformerBlockR(
                     cfg.dim, cfg.num_heads, cfg.expansion_factor,
                     cfg.dropout, cfg.dropout, dtype=dtype,
+                    use_flash=cfg.use_flash,
                     name=f"transformer_{i}")(x, mask, training)
         if v not in ("squeezeformer", "conformer", "hybrid", "conv_hybrid",
                      "conv_transformer"):

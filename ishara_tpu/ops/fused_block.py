@@ -1,0 +1,294 @@
+"""Whole-block fused Pallas kernels for batch-1 serving.
+
+Measured context (RESULTS.md): the batch-1 serving executable is *op-count*
+bound, not bandwidth bound — activations at [T=176, 256] are ~180 KB while
+each of the ~40 XLA ops per encoder block carries fixed dispatch/scheduling
+overhead, and every op re-streams its weights from HBM anyway. Fusing one
+entire block (LN -> FFN -> LN -> MHSA -> conv module(SE/BN) -> LN -> FFN,
+residuals included) into ONE Pallas kernel removes that overhead: the block's
+~4.2 MB of weights stream HBM->VMEM once and all compute (MXU matmuls per
+head, VPU elementwise) happens on-chip, approaching the weight-streaming
+roofline (~32 us f32 for the whole 26 MB model).
+
+Forward-only by design — this is the serving path; training keeps XLA's
+autodiff'd graph (where batch=256 fusion economics differ, see RESULTS.md).
+
+Semantics are exactly ``models.blocks.SqueezeformerBlock`` /
+``models.blocks.ConformerBlock`` in eval mode (all the reference quirks:
+full-dim attention scale, shared ``ln1`` in the conformer, default-eps norms
+in its conv module, causal vs 'same' depthwise convs, masked GAP in SE).
+Parity is enforced by tests/test_fused_block.py against the flax modules.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import _on_tpu
+
+LN_EPS = 1e-6
+LN_EPS_DEFAULT = 1e-3
+BN_EPS = 1e-3
+NEG = -1e30
+
+
+def _ln(x, g, b, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _mm(a, w):  # [T, I] @ [I, O] on the MXU, f32 accumulate
+    return jnp.dot(a, w, preferred_element_type=jnp.float32)
+
+
+def _mhsa(x, maskrow, qkv_w, proj_w, num_heads, dim):
+    """Fused-QKV attention, reference full-dim scale; maskrow [1, T] of 1/0."""
+    T = x.shape[0]
+    dh = dim // num_heads
+    qkv = _mm(x, qkv_w)  # [T, 3*dim] laid out per head as [q|k|v] blocks
+    bias = (1.0 - maskrow) * NEG  # 0 where valid, NEG (-1e30) at padding
+    out = jnp.zeros((T, dim), jnp.float32)
+    scale = dim ** -0.5
+    for h in range(num_heads):
+        base = h * 3 * dh
+        q = qkv[:, base: base + dh]
+        k = qkv[:, base + dh: base + 2 * dh]
+        v = qkv[:, base + 2 * dh: base + 3 * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        out = jax.lax.dynamic_update_slice(out, o, (0, h * dh))
+    return _mm(out, proj_w)
+
+
+def _masked_gap(x, maskrow):
+    m = maskrow.T  # [T, 1]
+    return jnp.sum(x * m, axis=0, keepdims=True) / jnp.maximum(
+        jnp.sum(m), 1.0)  # [1, C]
+
+
+def _dwconv(h, w, causal: bool):
+    """Depthwise conv over time. w [k, C]; causal left-pads k-1, else 'same'."""
+    k = w.shape[0]
+    T = h.shape[0]
+    pad = (k - 1, 0) if causal else ((k - 1) // 2, k // 2)
+    hp = jnp.pad(h, (pad, (0, 0)))
+    out = jnp.zeros_like(h)
+    for i in range(k):
+        out = out + hp[i: i + T] * w[i][None, :]
+    return out
+
+
+def _ffn(x, w1, b1, w2, b2):
+    return _mm(_swish(_mm(x, w1) + b1), w2) + b2
+
+
+# ---------------------------------------------------------------------------
+# Squeezeformer block (reference nb cell 5 SqueezeformerBlock, eval mode)
+# ---------------------------------------------------------------------------
+
+def _squeeze_kernel(num_heads, dim, x_ref, mask_ref,
+                    n1g, n1b, f1w1, f1b1, f1w2, f1b2,
+                    n2g, n2b, qkvw, projw,
+                    cng, cnb, pw1w, pw1b, dww, pw2w, pw2b,
+                    se1w, se1b, se2w, se2b,
+                    n3g, n3b, f2w1, f2b1, f2w2, f2b2,
+                    o_ref):
+    x = x_ref[:].astype(jnp.float32)
+    maskrow = mask_ref[:].astype(jnp.float32)  # [1, T]
+
+    # FFN1
+    x = x + _ffn(_ln(x, n1g[:], n1b[:], LN_EPS),
+                 f1w1[:], f1b1[:], f1w2[:], f1b2[:])
+    # MHSA
+    x = x + _mhsa(_ln(x, n2g[:], n2b[:], LN_EPS), maskrow,
+                  qkvw[:], projw[:], num_heads, dim)
+    # Conv module: LN -> pw1 swish -> causal dw swish -> pw2 -> SE -> +res
+    h = _ln(x, cng[:], cnb[:], LN_EPS)
+    h = _swish(_mm(h, pw1w[:]) + pw1b[:])
+    h = _swish(_dwconv(h, dww[:], causal=True))
+    h = _mm(h, pw2w[:]) + pw2b[:]
+    g = _masked_gap(h, maskrow)
+    g = _swish(_mm(g, se1w[:]) + se1b[:])
+    g = jax.nn.sigmoid(_mm(g, se2w[:]) + se2b[:])
+    x = x + h * g
+    # FFN2
+    x = x + _ffn(_ln(x, n3g[:], n3b[:], LN_EPS),
+                 f2w1[:], f2b1[:], f2w2[:], f2b2[:])
+    o_ref[:] = x.astype(o_ref.dtype)
+
+
+def _squeeze_args(p):
+    """Flatten a flax SqueezeformerBlock param dict into the kernel order."""
+    row = lambda v: jnp.asarray(v, jnp.float32)[None, :]  # noqa: E731
+    mat = lambda v: jnp.asarray(v, jnp.float32)           # noqa: E731
+    c = p["conv"]
+    return (
+        row(p["norm1"]["scale"]), row(p["norm1"]["bias"]),
+        mat(p["ffn1"]["fc1"]["kernel"]), row(p["ffn1"]["fc1"]["bias"]),
+        mat(p["ffn1"]["fc2"]["kernel"]), row(p["ffn1"]["fc2"]["bias"]),
+        row(p["norm2"]["scale"]), row(p["norm2"]["bias"]),
+        mat(p["mha"]["qkv"]["kernel"]), mat(p["mha"]["proj"]["kernel"]),
+        row(c["norm"]["scale"]), row(c["norm"]["bias"]),
+        mat(c["pw1"]["kernel"][0]), row(c["pw1"]["bias"]),
+        mat(c["dw"]["dwconv"]["kernel"][:, 0, :]),
+        mat(c["pw2"]["kernel"][0]), row(c["pw2"]["bias"]),
+        mat(c["se"]["fc1"]["kernel"]), row(c["se"]["fc1"]["bias"]),
+        mat(c["se"]["fc2"]["kernel"]), row(c["se"]["fc2"]["bias"]),
+        row(p["norm3"]["scale"]), row(p["norm3"]["bias"]),
+        mat(p["ffn2"]["fc1"]["kernel"]), row(p["ffn2"]["fc1"]["bias"]),
+        mat(p["ffn2"]["fc2"]["kernel"]), row(p["ffn2"]["fc2"]["bias"]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conformer block (reference nb cell 5 ConformerBlock, eval mode)
+# ---------------------------------------------------------------------------
+
+def _conformer_kernel(num_heads, dim, x_ref, mask_ref,
+                      l1g, l1b, f1w1, f1b1, f1w2, f1b2,
+                      qkvw, projw,
+                      pw1w, pw1b, dww, dwb, bng, bnb, bnm, bnv,
+                      pw2w, pw2b, clng, clnb,
+                      l2g, l2b, f2w1, f2b1, f2w2, f2b2,
+                      o_ref):
+    x = x_ref[:].astype(jnp.float32)
+    maskrow = mask_ref[:].astype(jnp.float32)
+
+    # FFN1 and MHSA share ln1 (reference quirk)
+    x = x + _ffn(_ln(x, l1g[:], l1b[:], LN_EPS),
+                 f1w1[:], f1b1[:], f1w2[:], f1b2[:])
+    x = x + _mhsa(_ln(x, l1g[:], l1b[:], LN_EPS), maskrow,
+                  qkvw[:], projw[:], num_heads, dim)
+    # Conv module: pw1 -> GLU -> 'same' dw(+bias) -> BN(stats) -> pw2
+    # -> LN(x + res), default-eps norms (reference quirk)
+    res = x
+    h = _mm(x, pw1w[:]) + pw1b[:]
+    a, b = h[:, :dim], h[:, dim:]
+    h = a * jax.nn.sigmoid(b)
+    h = _dwconv(h, dww[:], causal=False) + dwb[:]
+    h = (h - bnm[:]) * jax.lax.rsqrt(bnv[:] + BN_EPS) * bng[:] + bnb[:]
+    h = _mm(h, pw2w[:]) + pw2b[:]
+    x = _ln(h + res, clng[:], clnb[:], LN_EPS_DEFAULT)
+    # FFN2
+    x = x + _ffn(_ln(x, l2g[:], l2b[:], LN_EPS),
+                 f2w1[:], f2b1[:], f2w2[:], f2b2[:])
+    o_ref[:] = x.astype(o_ref.dtype)
+
+
+def _conformer_args(p, stats):
+    row = lambda v: jnp.asarray(v, jnp.float32)[None, :]  # noqa: E731
+    mat = lambda v: jnp.asarray(v, jnp.float32)           # noqa: E731
+    c = p["conv"]
+    return (
+        row(p["ln1"]["scale"]), row(p["ln1"]["bias"]),
+        mat(p["ffn1"]["fc1"]["kernel"]), row(p["ffn1"]["fc1"]["bias"]),
+        mat(p["ffn1"]["fc2"]["kernel"]), row(p["ffn1"]["fc2"]["bias"]),
+        mat(p["mha"]["qkv"]["kernel"]), mat(p["mha"]["proj"]["kernel"]),
+        mat(c["pw1"]["kernel"][0]), row(c["pw1"]["bias"]),
+        mat(c["dw"]["kernel"][:, 0, :]), row(c["dw"]["bias"]),
+        row(c["bn"]["scale"]), row(c["bn"]["bias"]),
+        row(stats["conv"]["bn"]["mean"]), row(stats["conv"]["bn"]["var"]),
+        mat(c["pw2"]["kernel"][0]), row(c["pw2"]["bias"]),
+        row(c["ln"]["scale"]), row(c["ln"]["bias"]),
+        row(p["ln2"]["scale"]), row(p["ln2"]["bias"]),
+        mat(p["ffn2"]["fc1"]["kernel"]), row(p["ffn2"]["fc1"]["bias"]),
+        mat(p["ffn2"]["fc2"]["kernel"]), row(p["ffn2"]["fc2"]["bias"]),
+    )
+
+
+def _call(kernel, x, mask, args, interpret):
+    maskrow = jnp.asarray(mask, jnp.float32)[None, :]
+    ins = (jnp.asarray(x), maskrow) + args
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ins),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*ins)
+
+
+def fused_squeezeformer_block(x, mask, params, *, num_heads: int,
+                              interpret: bool | None = None):
+    """x [T, dim] f32, mask [T] bool/float -> [T, dim]. ``params`` is the
+    flax SqueezeformerBlock param subtree."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    dim = x.shape[-1]
+    kernel = functools.partial(_squeeze_kernel, num_heads, dim)
+    return _call(kernel, x, mask, _squeeze_args(params), interpret)
+
+
+def fused_conformer_block(x, mask, params, batch_stats, *, num_heads: int,
+                          interpret: bool | None = None):
+    """x [T, dim] f32 -> [T, dim]; ``batch_stats`` is the block's
+    batch_stats subtree (BN moving mean/var, eval mode)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    dim = x.shape[-1]
+    kernel = functools.partial(_conformer_kernel, num_heads, dim)
+    return _call(kernel, x, mask, _conformer_args(params, batch_stats),
+                 interpret)
+
+
+# ---------------------------------------------------------------------------
+# Full fused forward for the hybrid/squeezeformer/conformer families
+# ---------------------------------------------------------------------------
+
+def fused_encoder_forward(cfg, variables, x, *, interpret: bool | None = None):
+    """Batch-1 eval forward of an IsharaEncoder via fused block kernels.
+
+    x [T, input_dim] (preprocessed frames). Stem/top stay plain jnp (a
+    handful of ops); every encoder block is one Pallas kernel. Matches
+    ``model.apply(variables, x[None], training=False)[0]`` for the
+    squeezeformer / conformer / hybrid variants.
+    """
+    from ..models.layers import BN_EPS as STEM_BN_EPS, positional_encoding
+    from ..preprocess.pipeline import frame_mask
+
+    if cfg.variant not in ("squeezeformer", "conformer", "hybrid"):
+        raise ValueError(f"fused path covers the attention-block families, "
+                         f"not {cfg.variant!r}")
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    mask = frame_mask(x)
+
+    h = jnp.asarray(x, jnp.float32)
+    h = _mm(h, params["stem_conv"]["kernel"])
+    h = h + jnp.asarray(positional_encoding(cfg.frame_len, cfg.dim),
+                        jnp.float32)[: h.shape[0]]
+    bn, bs = params["stem_bn"], stats["stem_bn"]
+    h = (h - bs["mean"]) * jax.lax.rsqrt(bs["var"] + STEM_BN_EPS) \
+        * bn["scale"] + bn["bias"]
+
+    if cfg.variant in ("squeezeformer", "hybrid"):
+        for i in range(cfg.num_squeeze_blocks):
+            h = fused_squeezeformer_block(
+                h, mask, params[f"squeezeformer_{i}"],
+                num_heads=cfg.num_heads, interpret=interpret)
+    if cfg.variant in ("conformer", "hybrid"):
+        for i in range(cfg.num_conform_blocks):
+            h = fused_conformer_block(
+                h, mask, params[f"conformer_{i}"],
+                stats[f"conformer_{i}"],
+                num_heads=cfg.num_heads, interpret=interpret)
+
+    h = _mm(h, params["top_conv"]["kernel"]) + params["top_conv"]["bias"]
+    h = jax.nn.relu(h)
+    return _mm(h, params["classifier"]["kernel"]) \
+        + params["classifier"]["bias"]

@@ -41,10 +41,16 @@ class InferenceEngine:
         decode: str = "greedy",
         beam_width: int = 8,
         beam_top_k: int = 8,
+        fused: bool = False,
     ):
         """``decode``: "greedy" (reference parity) or "beam" (on-device CTC
         prefix beam search, decode/beam_device.py) — both fuse into the same
         executable.
+
+        ``fused=True`` runs the encoder through the whole-block Pallas
+        kernels (ops/fused_block.py — one kernel per block instead of ~40
+        XLA ops; batch-1 serving is op-count bound, see RESULTS.md).
+        Supported for the squeezeformer/conformer/hybrid families.
 
         Measured negative result (RESULTS.md): keeping weights int8 in HBM
         with in-program dequant was much slower on v5e (XLA re-materializes
@@ -61,8 +67,15 @@ class InferenceEngine:
             raise ValueError(f"decode must be 'greedy' or 'beam', got {decode!r}")
 
         def program(variables, raw, length):
-            x = preprocess(raw, length, self.stats, self.frame_len, thin=True)
-            logits = self.model.apply(variables, x[None], training=False)[0]
+            x = preprocess(raw, length, self.stats, self.frame_len, thin=True,
+                           dominant_hand=cfg.dominant_hand)
+            if fused:
+                from ..ops.fused_block import fused_encoder_forward
+
+                logits = fused_encoder_forward(cfg, variables, x)
+            else:
+                logits = self.model.apply(variables, x[None],
+                                          training=False)[0]
             if decode == "beam":
                 from ..decode.beam_device import beam_search_device
 
@@ -126,7 +139,8 @@ class BatchedEngine:
         frame_len = model.cfg.frame_len
 
         def one(variables, raw, length):
-            x = preprocess(raw, length, stats, frame_len, thin=True)
+            x = preprocess(raw, length, stats, frame_len, thin=True,
+                           dominant_hand=model.cfg.dominant_hand)
             logits = model.apply(variables, x[None], training=False)[0]
             ids, count = greedy_decode(logits, max_len=max_out)
             # same <3-char constant-phrase fallback as the batch-1 engine

@@ -1,0 +1,82 @@
+"""Fused whole-block Pallas serving kernels vs the flax modules (eval mode).
+
+Runs in interpret mode on the CPU mesh; the same code path compiles on TPU
+(tests/test_attention_kernel.py establishes the interpret==TPU contract for
+this kernel style).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ishara_tpu.config import EncoderConfig
+from ishara_tpu.models.blocks import ConformerBlock, SqueezeformerBlock
+from ishara_tpu.models.encoder import build_model
+from ishara_tpu.ops.fused_block import (
+    fused_conformer_block,
+    fused_encoder_forward,
+    fused_squeezeformer_block,
+)
+
+
+def _rand_x(rng, T, dim):
+    x = rng.standard_normal((T, dim)).astype(np.float32)
+    return jnp.asarray(x)
+
+
+@pytest.mark.parametrize("T,dim,heads,k", [(24, 64, 4, 15), (16, 128, 8, 7)])
+def test_fused_squeezeformer_block_parity(rng, T, dim, heads, k):
+    block = SqueezeformerBlock(dim, heads, 2, k, dropout=0.0)
+    x = _rand_x(rng, T, dim)
+    mask = jnp.asarray(rng.random(T) > 0.2)
+    variables = block.init(jax.random.key(0), x[None], mask[None], False)
+    want = block.apply(variables, x[None], mask[None], False)[0]
+    got = fused_squeezeformer_block(x, mask, variables["params"],
+                                    num_heads=heads, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_conformer_block_parity(rng):
+    T, dim, heads = 24, 64, 4
+    block = ConformerBlock(dim, heads, 2, 15, attn_dropout=0.0, drop_rate=0.0)
+    x = _rand_x(rng, T, dim)
+    mask = jnp.asarray(rng.random(T) > 0.2)
+    variables = block.init(jax.random.key(0), x[None], mask[None], False)
+    # non-trivial BN stats so the import must carry them
+    bs = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(
+            np.random.default_rng(1).standard_normal(a.shape), jnp.float32)
+        ** 2 * 0.5 + 0.2,
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": bs}
+    want = block.apply(variables, x[None], mask[None], False)[0]
+    got = fused_conformer_block(x, mask, variables["params"],
+                                variables["batch_stats"],
+                                num_heads=heads, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("variant", ["squeezeformer", "hybrid", "conformer"])
+def test_fused_encoder_forward_parity(rng, variant):
+    cfg = EncoderConfig(variant=variant, dim=64, num_squeeze_blocks=2,
+                        num_conform_blocks=2, num_heads=4, frame_len=24,
+                        transformer_kernel_size=7, dropout=0.0,
+                        top_dropout=0.0, top_mult=1)
+    model = build_model(cfg)
+    x = rng.standard_normal((24, cfg.input_dim)).astype(np.float32)
+    x[18:] = 0.0  # padding frames
+    variables = model.init(jax.random.key(0), jnp.asarray(x)[None])
+    want = model.apply(variables, jnp.asarray(x)[None], training=False)[0]
+    got = fused_encoder_forward(cfg, variables, jnp.asarray(x),
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_fused_encoder_rejects_conv_variants(rng):
+    cfg = EncoderConfig(variant="conv_hybrid", dim=32, frame_len=16)
+    with pytest.raises(ValueError):
+        fused_encoder_forward(cfg, {"params": {}}, jnp.zeros((16, 276)))
