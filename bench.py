@@ -63,13 +63,18 @@ def main():
     from ishara_tpu.models import IsharaEncoder
     from ishara_tpu.serve import InferenceEngine
 
-    # --- training throughput (secondary, stderr) ---
-    try:
-        tp, ms = measure_train_throughput()
-        log(f"train throughput: {tp:.0f} seqs/sec/chip at batch 256 "
-            f"({ms:.1f} ms/step; reference GPU: 83-99 seqs/sec)")
-    except Exception as e:  # pragma: no cover
-        log("train throughput failed:", repr(e))
+    # --- training throughput (secondary, stderr): the SHIPPED fused step
+    # (augment + preprocess + fwd/bwd/update in one program), bf16 vs f32 ---
+    train_tp = {}
+    for dtype in ("bfloat16", "float32"):
+        try:
+            tp, ms = measure_train_throughput(dtype=dtype)
+            train_tp[dtype] = tp
+            log(f"train throughput[{dtype}]: {tp:.0f} seqs/sec/chip at "
+                f"batch 256 ({ms:.1f} ms/step, fused step; reference GPU: "
+                f"83-99 seqs/sec)")
+        except Exception as e:  # pragma: no cover
+            log(f"train throughput[{dtype}] failed:", repr(e))
 
     # --- headline: on-chip batch-1 serving latency ---
     cfg = baseline_config(5).model
@@ -117,6 +122,34 @@ def main():
         f"(slope of {lo}->{hi} chained runs; lo={t_lo*1e3:.0f} ms "
         f"hi={t_hi*1e3:.0f} ms)")
 
+    # --- fused whole-block-kernel serving path (ops/fused_block.py) ---
+    try:
+        t0 = time.perf_counter()
+        engine_f = InferenceEngine(model, variables, max_raw_frames=384,
+                                   fused=True)
+        log(f"compile(fused): {time.perf_counter() - t0:.1f}s")
+        single_f = engine_f.program_fn()
+
+        def fused_loop(K):
+            def body(carry, i):
+                raw = db[i % N] + carry * 1e-12
+                _, cnt = single_f(engine_f.variables, raw, dl[i % N])
+                return (carry + cnt).astype(jnp.float32), None
+
+            compiled = jax.jit(
+                lambda: jax.lax.scan(body, jnp.float32(0), jnp.arange(K))[0]
+            ).lower().compile()
+            return lambda: float(compiled())
+
+        g_lo, g_hi = fused_loop(lo), fused_loop(hi)
+        t_lo2, t_hi2 = med_time(g_lo, n=7), med_time(g_hi, n=7)
+        fused_ms = (t_hi2 - t_lo2) / (hi - lo) * 1e3
+        log(f"on-chip batch-1 per-seq [fused kernels]: {fused_ms:.3f} ms")
+        if fused_ms < per_seq_ms:
+            per_seq_ms = fused_ms
+    except Exception as e:  # pragma: no cover
+        log("fused serving path failed:", repr(e))
+
     # --- secondary: host->host including the tunnel ---
     for s in range(4):
         engine(bufs[s])
@@ -135,9 +168,13 @@ def main():
     }), flush=True)
 
 
-def measure_train_throughput(batch_size=256, lo=2, hi=10):
-    """Per-step device time via in-program lax.scan over train steps (the
-    state carry prevents hoisting), slope between two repetition counts."""
+def measure_train_throughput(batch_size=256, lo=2, hi=10, dtype="bfloat16"):
+    """Per-step device time of the SHIPPED Trainer step —
+    make_fused_ctc_train_step on a raw batch (augment + preprocess fused in,
+    train/state.py:117) — via in-program lax.scan over steps (the state carry
+    prevents hoisting), slope between two repetition counts."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -145,27 +182,30 @@ def measure_train_throughput(batch_size=256, lo=2, hi=10):
     from ishara_tpu.data.synthetic import SyntheticASLFR
     from ishara_tpu.data.tokenizer import CTCTokenizer
     from ishara_tpu.models import IsharaEncoder
-    from ishara_tpu.preprocess import GroupStats, preprocess_batch
-    from ishara_tpu.train import TrainState, ctc_train_step, make_optimizer
+    from ishara_tpu.preprocess import GroupStats
+    from ishara_tpu.train import TrainState, make_optimizer
+    from ishara_tpu.train.state import make_fused_ctc_train_step
 
-    cfg = baseline_config(4).model
+    cfg = dataclasses.replace(baseline_config(4).model, dtype=dtype)
     model = IsharaEncoder(cfg)
     tok = CTCTokenizer()
     ds = SyntheticASLFR(num_sequences=batch_size, seed=3)
     batch = ds.batch(range(batch_size), tok, max_frames=96)
-    x = preprocess_batch(
-        jnp.asarray(batch["raw"]), jnp.asarray(batch["lengths"]),
-        GroupStats.identity(), frame_len=cfg.frame_len,
-    )
     tcfg = TrainConfig(steps_per_epoch=1000)
     tx, _ = make_optimizer(tcfg)
-    state0 = TrainState.create(model, tx, x[:1])
-    jb = {"x": x, "labels": jnp.asarray(batch["labels"])}
+    sample = jnp.zeros((1, cfg.frame_len, cfg.input_dim), jnp.float32)
+    state0 = TrainState.create(model, tx, sample)
+    step = make_fused_ctc_train_step(
+        GroupStats.identity(), cfg.frame_len, aug_prob=tcfg.aug_prob,
+        blank_id=cfg.blank_id)
+    jb = {"raw": jnp.asarray(batch["raw"]),
+          "lengths": jnp.asarray(batch["lengths"]),
+          "labels": jnp.asarray(batch["labels"])}
     rng = jax.random.key(0)
 
     def loop(K):
         def body(s, _):
-            s2, m = ctc_train_step(s, jb, rng)
+            s2, m = step(s, jb, rng)
             return s2, m["loss"]
 
         compiled = jax.jit(
