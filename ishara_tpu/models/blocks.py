@@ -14,6 +14,7 @@ from .layers import (
     LN_EPS,
     CausalDWConv1D,
     ECA,
+    FastDropout,
     FeedForwardModule,
     ConformerConvModule,
     MultiHeadSelfAttention,
@@ -73,7 +74,7 @@ class SqueezeformerBlock(nn.Module):
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
         h = FeedForwardModule(self.dim, self.expansion_factor, self.dropout,
                               dtype=self.dtype, name="ffn1")(h, deterministic=det)
-        x = res + nn.Dropout(self.dropout)(h, deterministic=det)
+        x = res + FastDropout(self.dropout)(h, deterministic=det)
 
         res = x
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)
@@ -81,7 +82,7 @@ class SqueezeformerBlock(nn.Module):
                                    dtype=self.dtype,
                                    use_flash=self.use_flash, name="mha")(
             h, mask=mask, deterministic=det)
-        x = res + nn.Dropout(self.dropout)(h, deterministic=det)
+        x = res + FastDropout(self.dropout)(h, deterministic=det)
 
         x = SqueezeformerConvModule(self.dim, self.kernel_size,
                                     self.expansion_factor, dtype=self.dtype,
@@ -91,7 +92,7 @@ class SqueezeformerBlock(nn.Module):
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm3")(x)
         h = FeedForwardModule(self.dim, self.expansion_factor, self.dropout,
                               dtype=self.dtype, name="ffn2")(h, deterministic=det)
-        return res + nn.Dropout(self.dropout)(h, deterministic=det)
+        return res + FastDropout(self.dropout)(h, deterministic=det)
 
 
 class ConformerBlock(nn.Module):

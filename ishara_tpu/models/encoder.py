@@ -11,7 +11,7 @@ from flax import linen as nn
 from ..config import EncoderConfig
 from ..preprocess.pipeline import frame_mask
 from .blocks import Conv1DBlock, ConformerBlock, SqueezeformerBlock, TransformerBlock
-from .layers import BN_EPS, BN_MOMENTUM, positional_encoding
+from .layers import FastDropout, BN_EPS, BN_MOMENTUM, positional_encoding
 
 
 class IsharaEncoder(nn.Module):
@@ -103,7 +103,7 @@ class IsharaEncoder(nn.Module):
 
         x = nn.Dense(cfg.dim * cfg.top_mult, dtype=dtype, name="top_conv")(x)
         x = nn.relu(x)
-        x = nn.Dropout(cfg.top_dropout)(x, deterministic=not training)
+        x = FastDropout(cfg.top_dropout)(x, deterministic=not training)
         x = nn.Dense(cfg.num_classes, dtype=dtype, name="classifier")(x)
         return x.astype(jnp.float32)
 

@@ -122,9 +122,15 @@ class MultiHeadSelfAttention(nn.Module):
     With ``use_flash`` the scores/softmax/value contraction run as the fused
     Pallas flash kernel (:func:`ishara_tpu.ops.attention.flash_mhsa`),
     including in-kernel attention dropout seeded from the flax RNG.
-    ``use_flash`` defaults to False: at this model size (T=176, Dh=32) XLA's
-    batched einsum measured 3x faster on v5e (RESULTS.md); the kernel is the
-    path for longer FRAME_LEN / context-parallel sharding (SURVEY.md §5).
+
+    Path selection is measured, not dogmatic (RESULTS.md): in *eval* at this
+    model size (T=176, Dh=32) XLA's batched einsum is ~3x faster than the
+    kernel, but in *training* the einsum path must materialize + mask the
+    [B, H, T, T] probabilities for dropout while the kernel applies an
+    in-kernel hardware-PRNG mask — measured 102.6 -> 80.6 ms per batch-256
+    flagship step on v5e. So on TPU the flash kernel is selected
+    automatically whenever attention dropout is active (and T fits one
+    block); ``use_flash=True`` forces it (long-context path, SURVEY.md §5).
     """
 
     dim: int = 256
@@ -147,8 +153,11 @@ class MultiHeadSelfAttention(nn.Module):
 
         rate = 0.0 if deterministic else self.dropout
         # in-kernel dropout needs the TPU PRNG; interpret mode (CPU tests)
-        # falls back to einsum when dropout is active
-        if self.use_flash and (_on_tpu() or rate == 0.0):
+        # falls back to einsum when dropout is active. On TPU with dropout
+        # active the kernel is automatically preferred (faster than
+        # materializing [B, H, T, T] for the mask — see class docstring).
+        flash = self.use_flash or (rate > 0.0 and _on_tpu() and T <= 384)
+        if flash and (_on_tpu() or rate == 0.0):
             bias = (
                 jnp.where(mask, 0.0, NEG).astype(jnp.float32)
                 if mask is not None else jnp.zeros((B, T), jnp.float32)
@@ -167,11 +176,33 @@ class MultiHeadSelfAttention(nn.Module):
                 attn = jnp.where(mask[:, None, None, :], attn,
                                  jnp.finfo(attn.dtype).min)
             attn = nn.softmax(attn, axis=-1)
-            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            attn = FastDropout(self.dropout)(attn, deterministic=deterministic)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
 
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.dim)
         return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="proj")(out)
+
+
+class FastDropout(nn.Module):
+    """Dropout with a hardware-PRNG mask on TPU (ops/dropout.py).
+
+    Drop-in for ``nn.Dropout`` at the full-tensor mask sites (FFN hiddens,
+    attention probabilities, residual branches): identical inverted-dropout
+    semantics, but the mask comes from the Mosaic PRNG instead of threefry —
+    measured 82 ms -> ~0 of per-step mask generation on the flagship config
+    (RESULTS.md round 2). Parameter-free, uses the standard "dropout" RNG
+    collection; off-TPU it falls back to jax.random (CPU test mesh).
+    """
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        from ..ops.dropout import fast_dropout
+
+        if deterministic or self.rate <= 0.0:
+            return x
+        return fast_dropout(x, self.make_rng("dropout"), self.rate)
 
 
 class RowDropout(nn.Module):
@@ -198,7 +229,7 @@ class FeedForwardModule(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         x = nn.Dense(self.dim * self.expansion_factor, dtype=self.dtype, name="fc1")(x)
         x = nn.swish(x)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = FastDropout(self.dropout)(x, deterministic=deterministic)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
 
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .layers import LN_EPS, BN_EPS, BN_MOMENTUM
+from .layers import FastDropout, LN_EPS, BN_EPS, BN_MOMENTUM
 
 
 class FeatureExtractor(nn.Module):
@@ -97,7 +97,7 @@ class RoPEMultiHeadAttention(nn.Module):
             attn = jnp.where(mask[:, None, None, :], attn,
                              jnp.finfo(attn.dtype).min)
         attn = nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        attn = FastDropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="out")(out)
 
@@ -123,7 +123,7 @@ class _ConvModule(nn.Module):
                          name="bn")(h)
         h = nn.silu(h)
         h = nn.Conv(self.dim, (1,), dtype=self.dtype, name="pw2")(h)
-        return nn.Dropout(self.dropout)(h, deterministic=not training)
+        return FastDropout(self.dropout)(h, deterministic=not training)
 
 
 class _FF(nn.Module):
@@ -135,9 +135,9 @@ class _FF(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         h = nn.Dense(self.dim * 4, dtype=self.dtype, name="fc1")(x)
         h = nn.silu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = FastDropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
-        return nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return FastDropout(self.dropout)(h, deterministic=deterministic)
 
 
 class RoPESqueezeformerBlock(nn.Module):
@@ -160,7 +160,7 @@ class RoPESqueezeformerBlock(nn.Module):
         h = RoPEMultiHeadAttention(self.dim, self.num_heads, self.dropout,
                                    dtype=self.dtype, name="mhsa")(
             h, mask=mask, deterministic=det)
-        h = nn.Dropout(self.dropout)(h, deterministic=det)
+        h = FastDropout(self.dropout)(h, deterministic=det)
         x = x + h * scale
         h = nn.LayerNorm(epsilon=LN_EPS, name="conv_norm")(x)
         x = x + _ConvModule(self.dim, self.dropout, self.dtype, name="conv")(
@@ -189,7 +189,7 @@ class RoPEConformerBlock(nn.Module):
         h = RoPEMultiHeadAttention(self.dim, self.num_heads, self.dropout,
                                    dtype=self.dtype, name="mhsa")(
             h, mask=mask, deterministic=det)
-        h = nn.Dropout(self.dropout)(h, deterministic=det)
+        h = FastDropout(self.dropout)(h, deterministic=det)
         x = x + h * scale
         h = nn.LayerNorm(epsilon=LN_EPS, name="conv_norm")(x)
         x = x + _ConvModule(self.dim, self.dropout, self.dtype, name="conv")(
@@ -222,7 +222,7 @@ class DecoderLayer(nn.Module):
         a = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (Dh ** -0.5)
         a = jnp.where(causal[None, None], a, jnp.finfo(a.dtype).min)
         a = nn.softmax(a, axis=-1)
-        a = nn.Dropout(self.dropout)(a, deterministic=deterministic)
+        a = FastDropout(self.dropout)(a, deterministic=deterministic)
         h = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(B, S, self.dim)
         tgt = tgt + nn.Dense(self.dim, dtype=self.dtype, name="sa_out")(h)
 
@@ -236,16 +236,16 @@ class DecoderLayer(nn.Module):
             a = jnp.where(memory_mask[:, None, None, :], a,
                           jnp.finfo(a.dtype).min)
         a = nn.softmax(a, axis=-1)
-        a = nn.Dropout(self.dropout)(a, deterministic=deterministic)
+        a = FastDropout(self.dropout)(a, deterministic=deterministic)
         h = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(B, S, self.dim)
         tgt = tgt + nn.Dense(self.dim, dtype=self.dtype, name="ca_out")(h)
 
         h = nn.LayerNorm(epsilon=LN_EPS, name="norm3")(tgt)
         h = nn.Dense(self.dim * 4, dtype=self.dtype, name="fc1")(h)
         h = nn.relu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = FastDropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
-        return tgt + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return tgt + FastDropout(self.dropout)(h, deterministic=deterministic)
 
 
 class ASLTranslationModel(nn.Module):
@@ -293,7 +293,7 @@ class ASLTranslationModel(nn.Module):
         ]
         self.decoder_norm = nn.LayerNorm(epsilon=LN_EPS)
         self.classifier = nn.Dense(self.num_classes, dtype=self.dtype)
-        self.emb_dropout = nn.Dropout(self.dropout)
+        self.emb_dropout = FastDropout(self.dropout)
 
     def encode(self, x, mask=None, training: bool = False):
         """x [B, T, 92, 3] -> (memory [B, T, d], confidence [B])."""

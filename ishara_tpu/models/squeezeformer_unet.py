@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .layers import LN_EPS, BN_EPS, BN_MOMENTUM
+from .layers import FastDropout, LN_EPS, BN_EPS, BN_MOMENTUM
 
 
 def rel_positional_encoding(T: int, dim: int) -> np.ndarray:
@@ -79,7 +79,7 @@ class RelativeMultiHeadAttention(nn.Module):
             score = jnp.where(mask[:, None, None, :], score,
                               jnp.finfo(score.dtype).min)
         attn = nn.softmax(score, axis=-1)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        attn = FastDropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="out")(out)
 
@@ -146,7 +146,7 @@ class _PostLNBlock(nn.Module):
             h = nn.Dense(self.dim * self.expansion, dtype=self.dtype,
                          name=f"{tag}_fc1")(h)
             h = nn.swish(h)
-            h = nn.Dropout(self.dropout)(h, deterministic=det)
+            h = FastDropout(self.dropout)(h, deterministic=det)
             return nn.Dense(self.dim, dtype=self.dtype, name=f"{tag}_fc2")(h)
 
         h = RelativeMultiHeadAttention(self.dim, self.num_heads, self.dropout,

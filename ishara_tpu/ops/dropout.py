@@ -1,0 +1,114 @@
+"""Fused dropout via the TPU Mosaic PRNG.
+
+Measured motivation (RESULTS.md round 2): the flagship train step at batch
+256 generates ~1e9 dropout mask elements per step (attention probabilities
+[B, H, T, T] in 8 blocks plus FFN hiddens [B, T, 4*dim] at ~12 sites).
+jax.random's counter-based threefry costs ~20 ALU rounds per 32-bit word on
+the VPU, which measured 82 ms of the 154 ms step — more than the entire
+fwd+bwd math. The hardware PRNG (`pltpu.prng_random_bits`) produces bits at
+near-VPU-move speed.
+
+Design:
+* One kernel, grid over row-blocks of the flattened [R, C] input; each
+  program seeds the hardware PRNG with (site_seed, program_id) so blocks are
+  decorrelated and the stream is independent of the grid's execution order.
+* The keep-mask is NEVER stored: the backward pass re-seeds the same PRNG
+  and regenerates it (same trick as the in-kernel attention dropout,
+  ops/attention.py:49). dx = dy * mask / (1-rate) is the same computation as
+  the forward, so fwd and bwd share one kernel.
+* Off-TPU (the CPU test mesh) falls back to jax.random.bernoulli with an
+  ordinary threefry key — identical semantics, different (but equally valid)
+  mask stream. Interpret mode can't host the kernel: Mosaic's `prng_seed`
+  has no CPU lowering (verified on jax 0.9).
+
+Reference contract: torch ``nn.Dropout`` / Keras ``Dropout`` as used by the
+reference blocks (integration.py:203-278, nb cell 5) — inverted dropout,
+keep-probability scaling at train time.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import _on_tpu
+
+
+def _kernel(rate, seed_ref, x_ref, o_ref):
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    bits = pltpu.bitcast(pltpu.prng_random_bits(x_ref.shape), jnp.uint32)
+    threshold = jnp.uint32(int(rate * (2 ** 32)))
+    keep = (bits >= threshold).astype(jnp.float32)
+    scale = 1.0 / (1.0 - rate)
+    o_ref[:] = (x_ref[:].astype(jnp.float32) * keep * scale).astype(o_ref.dtype)
+
+
+def _apply(x, seed, rate):
+    """Run the mask kernel over x (any shape, flattened to [R, C])."""
+    shape = x.shape
+    C = shape[-1]
+    R = 1
+    for d in shape[:-1]:
+        R *= d
+    x2 = x.reshape(R, C)
+    # ~2 MB f32 blocks; sublane multiple of 8, whole array if it fits.
+    br = max(8, min(R, (1 << 19) // max(C, 1)))
+    br = min(R, (br + 7) // 8 * 8)
+    grid = (R + br - 1) // br
+    out = pl.pallas_call(
+        functools.partial(_kernel, rate),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((br, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((br, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, C), x.dtype),
+    )(seed, x2)
+    return out.reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def tpu_dropout(x, seed, rate: float):
+    """Inverted dropout with a hardware-PRNG mask.
+
+    x: any-shape array; seed: int32 [1] (one fresh value per site per step);
+    rate: static drop probability in [0, 1). The mask is a pure function of
+    (seed, block index), so the backward pass regenerates it exactly.
+    """
+    if rate <= 0.0:
+        return x
+    return _apply(x, seed, rate)
+
+
+def _vjp_fwd(x, seed, rate):
+    return tpu_dropout(x, seed, rate), seed
+
+
+def _vjp_bwd(rate, seed, dy):
+    # d/dx [x * m / (1-r)] = m / (1-r): same masked scaling applied to dy.
+    return (_apply(dy, seed, rate) if rate > 0.0 else dy), None
+
+
+tpu_dropout.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fast_dropout(x, rng, rate: float):
+    """Dropout dispatcher: hardware-PRNG kernel on TPU, jax.random elsewhere.
+
+    ``rng`` is an ordinary threefry key; the TPU path derives the kernel's
+    32-bit site seed from it (one scalar threefry call instead of one per
+    mask element).
+    """
+    if rate <= 0.0:
+        return x
+    if _on_tpu():
+        seed = jax.random.randint(rng, (1,), 0, 2 ** 31 - 1, jnp.int32)
+        return tpu_dropout(x, seed, rate)
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
