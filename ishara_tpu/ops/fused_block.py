@@ -47,32 +47,38 @@ def _swish(x):
     return x * jax.nn.sigmoid(x)
 
 
-def _mm(a, w):  # [T, I] @ [I, O] on the MXU, f32 accumulate
-    return jnp.dot(a, w, preferred_element_type=jnp.float32)
+def _mm(a, w):
+    """[T, I] @ [I, O] on the MXU, f32 accumulate. The multiply precision
+    follows the WEIGHT dtype: bf16 weights run the MXU at full (4x f32)
+    rate — the serving default, matching the reference's fp16 TFLite deploy
+    numerics — while f32 weights keep exact-parity mode for the CPU tests."""
+    return jnp.dot(a.astype(w.dtype), w, preferred_element_type=jnp.float32)
 
 
 def _mhsa(x, maskrow, qkv_w, proj_w, num_heads, dim):
     """Fused-QKV attention, reference full-dim scale; maskrow [1, T] of 1/0."""
-    T = x.shape[0]
+    dt = qkv_w.dtype
     dh = dim // num_heads
     qkv = _mm(x, qkv_w)  # [T, 3*dim] laid out per head as [q|k|v] blocks
     bias = (1.0 - maskrow) * NEG  # 0 where valid, NEG (-1e30) at padding
-    out = jnp.zeros((T, dim), jnp.float32)
     scale = dim ** -0.5
+    outs = []
     for h in range(num_heads):
         base = h * 3 * dh
         q = qkv[:, base: base + dh]
         k = qkv[:, base + dh: base + 2 * dh]
         v = qkv[:, base + 2 * dh: base + 3 * dh]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            q.astype(dt), k.astype(dt), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale + bias
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-        out = jax.lax.dynamic_update_slice(out, o, (0, h * dh))
-    return _mm(out, proj_w)
+        outs.append(jnp.dot(p.astype(dt), v.astype(dt),
+                            preferred_element_type=jnp.float32))
+    # static concat: Mosaic has no dynamic_update_slice lowering (the
+    # value-level .at[].set alternative lowers to exactly that primitive)
+    return _mm(jnp.concatenate(outs, axis=1), proj_w)
 
 
 def _masked_gap(x, maskrow):
@@ -132,10 +138,12 @@ def _squeeze_kernel(num_heads, dim, x_ref, mask_ref,
     o_ref[:] = x.astype(o_ref.dtype)
 
 
-def _squeeze_args(p):
-    """Flatten a flax SqueezeformerBlock param dict into the kernel order."""
+def _squeeze_args(p, dt):
+    """Flatten a flax SqueezeformerBlock param dict into the kernel order.
+    Matmul weights are stored at ``dt`` (halves HBM->VMEM streaming and
+    selects the MXU multiply precision, see ``_mm``); vectors stay f32."""
     row = lambda v: jnp.asarray(v, jnp.float32)[None, :]  # noqa: E731
-    mat = lambda v: jnp.asarray(v, jnp.float32)           # noqa: E731
+    mat = lambda v: jnp.asarray(v, dt)                    # noqa: E731
     c = p["conv"]
     return (
         row(p["norm1"]["scale"]), row(p["norm1"]["bias"]),
@@ -145,7 +153,7 @@ def _squeeze_args(p):
         mat(p["mha"]["qkv"]["kernel"]), mat(p["mha"]["proj"]["kernel"]),
         row(c["norm"]["scale"]), row(c["norm"]["bias"]),
         mat(c["pw1"]["kernel"][0]), row(c["pw1"]["bias"]),
-        mat(c["dw"]["dwconv"]["kernel"][:, 0, :]),
+        jnp.asarray(c["dw"]["dwconv"]["kernel"][:, 0, :], jnp.float32),
         mat(c["pw2"]["kernel"][0]), row(c["pw2"]["bias"]),
         mat(c["se"]["fc1"]["kernel"]), row(c["se"]["fc1"]["bias"]),
         mat(c["se"]["fc2"]["kernel"]), row(c["se"]["fc2"]["bias"]),
@@ -190,9 +198,9 @@ def _conformer_kernel(num_heads, dim, x_ref, mask_ref,
     o_ref[:] = x.astype(o_ref.dtype)
 
 
-def _conformer_args(p, stats):
+def _conformer_args(p, stats, dt):
     row = lambda v: jnp.asarray(v, jnp.float32)[None, :]  # noqa: E731
-    mat = lambda v: jnp.asarray(v, jnp.float32)           # noqa: E731
+    mat = lambda v: jnp.asarray(v, dt)                    # noqa: E731
     c = p["conv"]
     return (
         row(p["ln1"]["scale"]), row(p["ln1"]["bias"]),
@@ -200,7 +208,8 @@ def _conformer_args(p, stats):
         mat(p["ffn1"]["fc2"]["kernel"]), row(p["ffn1"]["fc2"]["bias"]),
         mat(p["mha"]["qkv"]["kernel"]), mat(p["mha"]["proj"]["kernel"]),
         mat(c["pw1"]["kernel"][0]), row(c["pw1"]["bias"]),
-        mat(c["dw"]["kernel"][:, 0, :]), row(c["dw"]["bias"]),
+        jnp.asarray(c["dw"]["kernel"][:, 0, :], jnp.float32),
+        row(c["dw"]["bias"]),
         row(c["bn"]["scale"]), row(c["bn"]["bias"]),
         row(stats["conv"]["bn"]["mean"]), row(stats["conv"]["bn"]["var"]),
         mat(c["pw2"]["kernel"][0]), row(c["pw2"]["bias"]),
@@ -224,25 +233,31 @@ def _call(kernel, x, mask, args, interpret):
 
 
 def fused_squeezeformer_block(x, mask, params, *, num_heads: int,
-                              interpret: bool | None = None):
+                              interpret: bool | None = None,
+                              compute_dtype=jnp.bfloat16):
     """x [T, dim] f32, mask [T] bool/float -> [T, dim]. ``params`` is the
-    flax SqueezeformerBlock param subtree."""
+    flax SqueezeformerBlock param subtree. ``compute_dtype`` sets the MXU
+    multiply precision (bf16 default = deploy numerics; f32 = exact parity
+    with the flax module, used by the CPU tests)."""
     if interpret is None:
         interpret = not _on_tpu()
     dim = x.shape[-1]
     kernel = functools.partial(_squeeze_kernel, num_heads, dim)
-    return _call(kernel, x, mask, _squeeze_args(params), interpret)
+    return _call(kernel, x, mask, _squeeze_args(params, compute_dtype),
+                 interpret)
 
 
 def fused_conformer_block(x, mask, params, batch_stats, *, num_heads: int,
-                          interpret: bool | None = None):
+                          interpret: bool | None = None,
+                          compute_dtype=jnp.bfloat16):
     """x [T, dim] f32 -> [T, dim]; ``batch_stats`` is the block's
     batch_stats subtree (BN moving mean/var, eval mode)."""
     if interpret is None:
         interpret = not _on_tpu()
     dim = x.shape[-1]
     kernel = functools.partial(_conformer_kernel, num_heads, dim)
-    return _call(kernel, x, mask, _conformer_args(params, batch_stats),
+    return _call(kernel, x, mask,
+                 _conformer_args(params, batch_stats, compute_dtype),
                  interpret)
 
 
@@ -250,13 +265,17 @@ def fused_conformer_block(x, mask, params, batch_stats, *, num_heads: int,
 # Full fused forward for the hybrid/squeezeformer/conformer families
 # ---------------------------------------------------------------------------
 
-def fused_encoder_forward(cfg, variables, x, *, interpret: bool | None = None):
+def fused_encoder_forward(cfg, variables, x, *, interpret: bool | None = None,
+                          compute_dtype=jnp.bfloat16):
     """Batch-1 eval forward of an IsharaEncoder via fused block kernels.
 
     x [T, input_dim] (preprocessed frames). Stem/top stay plain jnp (a
     handful of ops); every encoder block is one Pallas kernel. Matches
     ``model.apply(variables, x[None], training=False)[0]`` for the
-    squeezeformer / conformer / hybrid variants.
+    squeezeformer / conformer / hybrid variants — exactly at
+    ``compute_dtype=jnp.float32``, to ~1% logit tolerance at the bf16
+    deploy default (measured on v5e; decode is an argmax so the serving
+    output is unaffected, tests/test_serving_extras.py).
     """
     from ..models.layers import BN_EPS as STEM_BN_EPS, positional_encoding
     from ..preprocess.pipeline import frame_mask
@@ -280,13 +299,15 @@ def fused_encoder_forward(cfg, variables, x, *, interpret: bool | None = None):
         for i in range(cfg.num_squeeze_blocks):
             h = fused_squeezeformer_block(
                 h, mask, params[f"squeezeformer_{i}"],
-                num_heads=cfg.num_heads, interpret=interpret)
+                num_heads=cfg.num_heads, interpret=interpret,
+                compute_dtype=compute_dtype)
     if cfg.variant in ("conformer", "hybrid"):
         for i in range(cfg.num_conform_blocks):
             h = fused_conformer_block(
                 h, mask, params[f"conformer_{i}"],
                 stats[f"conformer_{i}"],
-                num_heads=cfg.num_heads, interpret=interpret)
+                num_heads=cfg.num_heads, interpret=interpret,
+                compute_dtype=compute_dtype)
 
     h = _mm(h, params["top_conv"]["kernel"]) + params["top_conv"]["bias"]
     h = jax.nn.relu(h)

@@ -151,8 +151,13 @@ def thin_frames(
     the compacted [Tmax, 276] array and the new valid length.
 
     The reference's boolean-mask gather produces a dynamic shape; here the
-    compaction is a stable argsort on the drop flag, keeping the program
-    statically shaped.
+    kept rows are compacted to the front with a cumsum-rank gather (the j-th
+    output row is the (j+1)-th kept row, found by counting how many prefix
+    sums fall below j+1). A [T, T] compare + row-sum is pure VPU work —
+    measured 4x faster than the previous stable-argsort compaction, which
+    dominated the serving program (38 of 122 us; RESULTS.md round 2).
+    Rows at or beyond the returned length are unspecified (clamped gather of
+    the last row); every consumer (``resample_or_pad``) masks on length.
     """
     T = x.shape[0]
     valid = jnp.arange(T) < length
@@ -167,8 +172,10 @@ def thin_frames(
     alternating = (jnp.arange(T) % 2) == 0  # cumsum(ones) % 2 == 1 keeps even rows
     keep = (signal | alternating) & valid
 
-    order = jnp.argsort(jnp.logical_not(keep), stable=True)
-    return x[order], jnp.sum(keep).astype(jnp.int32)
+    csum = jnp.cumsum(keep.astype(jnp.int32))
+    targets = jnp.arange(1, T + 1, dtype=jnp.int32)[:, None]
+    idx = jnp.sum((csum[None, :] < targets).astype(jnp.int32), axis=1)
+    return x[jnp.minimum(idx, T - 1)], csum[-1]
 
 
 def normalize_groups(
@@ -178,6 +185,25 @@ def normalize_groups(
     return {
         g: (groups[g] - stats.mean[g]) / stats.std[g] for g in lm.GROUPS
     }
+
+
+# Flat output-column permutation: output column j reads input column
+# _OUT_PERM[j], giving the lip|rhand|lhand|rpose|lpose x,y,z-triple layout
+# that split->merge produced group-by-group.
+_OUT_PERM = jnp.asarray(
+    np.concatenate([np.asarray(lm.GROUP_IDX[g]).ravel()
+                    for g in lm.CONCAT_ORDER]))
+
+
+def _flat_stats(stats: GroupStats) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Broadcast the per-group [1, 1, 3] (or [1, n, 3]) stats to flat
+    [276] vectors in output-column order."""
+    means, stds = [], []
+    for g in lm.CONCAT_ORDER:
+        n = lm.GROUP_IDX[g].shape[0]
+        means.append(jnp.broadcast_to(stats.mean[g], (1, n, 3)).reshape(-1))
+        stds.append(jnp.broadcast_to(stats.std[g], (1, n, 3)).reshape(-1))
+    return jnp.concatenate(means), jnp.concatenate(stds)
 
 
 def preprocess(
@@ -196,15 +222,23 @@ def preprocess(
     ``dominant_hand=True`` first canonicalizes handedness by mirroring
     left-dominant sequences (:func:`dominant_hand_mirror`) — must be set
     consistently between training and serving.
+
+    Computed flat rather than group-by-group: one time-resample on the whole
+    [Tmax, 276] array, one column-permutation gather, one scale/shift with
+    precomputed [276] vectors. Exactly equivalent to the reference's
+    split -> per-group resize -> normalize -> concat (resampling is
+    per-column linear, so it commutes with the column permutation; proven
+    against the TF oracles in test_tf_oracles.py), but ~6 ops instead of
+    ~15x3 — the group-wise version measured 38 of the 122 us batch-1
+    serving program (RESULTS.md round 2).
     """
     if dominant_hand:
         x, _ = dominant_hand_mirror(x, length)
     if thin:
         x, length = thin_frames(x, length)
-    groups = split_groups(x)
-    groups = {g: resample_or_pad(v, length, frame_len) for g, v in groups.items()}
-    groups = normalize_groups(groups, stats)
-    out = merge_groups(groups)
+    mean, std = _flat_stats(stats)
+    out = resample_or_pad(x, length, frame_len)[:, _OUT_PERM]
+    out = (out - mean) / std
     return jnp.nan_to_num(out, nan=0.0)
 
 

@@ -33,7 +33,8 @@ def test_fused_squeezeformer_block_parity(rng, T, dim, heads, k):
     variables = block.init(jax.random.key(0), x[None], mask[None], False)
     want = block.apply(variables, x[None], mask[None], False)[0]
     got = fused_squeezeformer_block(x, mask, variables["params"],
-                                    num_heads=heads, interpret=True)
+                                    num_heads=heads, interpret=True,
+                                    compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
 
@@ -54,7 +55,8 @@ def test_fused_conformer_block_parity(rng):
     want = block.apply(variables, x[None], mask[None], False)[0]
     got = fused_conformer_block(x, mask, variables["params"],
                                 variables["batch_stats"],
-                                num_heads=heads, interpret=True)
+                                num_heads=heads, interpret=True,
+                                compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
 
@@ -71,9 +73,15 @@ def test_fused_encoder_forward_parity(rng, variant):
     variables = model.init(jax.random.key(0), jnp.asarray(x)[None])
     want = model.apply(variables, jnp.asarray(x)[None], training=False)[0]
     got = fused_encoder_forward(cfg, variables, jnp.asarray(x),
-                                interpret=True)
+                                interpret=True, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-5, atol=5e-5)
+    # bf16 deploy numerics: same program at MXU-bf16 precision stays within
+    # ~1% of the f32 logits (serving decodes via argmax)
+    got16 = fused_encoder_forward(cfg, variables, jnp.asarray(x),
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got16), np.asarray(want),
+                               rtol=0.05, atol=0.05)
 
 
 def test_fused_encoder_rejects_conv_variants(rng):
