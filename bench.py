@@ -109,7 +109,9 @@ def main():
         ).lower().compile()
         return lambda: float(compiled())
 
-    lo, hi = 16, 272  # wide spread: slope noise ~ RT-jitter/(hi-lo)
+    lo, hi = 16, 784  # wide spread: slope noise ~ RT-jitter/(hi-lo)
+    # (at 272 the per-seq jitter measured ~+-10 us; 768 chained runs cut it
+    # to ~+-3 us while the hi-program still finishes in well under 100 ms)
     f_lo, f_hi = serving_loop(lo), serving_loop(hi)
     if profile_dir:
         from ishara_tpu.utils.profiling import trace

@@ -48,33 +48,40 @@ def _swish(x):
 
 
 def _mm(a, w):
-    """[T, I] @ [I, O] on the MXU, f32 accumulate. The multiply precision
-    follows the WEIGHT dtype: bf16 weights run the MXU at full (4x f32)
-    rate — the serving default, matching the reference's fp16 TFLite deploy
-    numerics — while f32 weights keep exact-parity mode for the CPU tests."""
-    return jnp.dot(a.astype(w.dtype), w, preferred_element_type=jnp.float32)
+    """[T, I] @ [I, O] on the MXU, f32 operands/accumulate.
+
+    Weights arrive at the STORAGE dtype (bf16 serving default — halves the
+    HBM->VMEM stream, which is the kernel's bottleneck) and are upcast at
+    the dot: on v5e, f32-operand Mosaic dots measured 1.7x faster than
+    bf16-operand dots (61.7 -> 46.2 us whole-encoder with bf16 streaming;
+    bf16-operand dots hit a relayout slow path — RESULTS.md round 2)."""
+    return jnp.dot(a.astype(jnp.float32), w.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
 
 
 def _mhsa(x, maskrow, qkv_w, proj_w, num_heads, dim):
     """Fused-QKV attention, reference full-dim scale; maskrow [1, T] of 1/0."""
-    dt = qkv_w.dtype
     dh = dim // num_heads
     qkv = _mm(x, qkv_w)  # [T, 3*dim] laid out per head as [q|k|v] blocks
     bias = (1.0 - maskrow) * NEG  # 0 where valid, NEG (-1e30) at padding
     scale = dim ** -0.5
     outs = []
+    # per-head dots run with bf16 operands (f32 accumulate): unlike the
+    # weight matmuls these are activation×activation products where the
+    # bf16 MXU path measured faster (71 -> 46 us whole-encoder on v5e)
+    adt = qkv_w.dtype
     for h in range(num_heads):
         base = h * 3 * dh
-        q = qkv[:, base: base + dh]
-        k = qkv[:, base + dh: base + 2 * dh]
-        v = qkv[:, base + 2 * dh: base + 3 * dh]
+        q = qkv[:, base: base + dh].astype(adt)
+        k = qkv[:, base + dh: base + 2 * dh].astype(adt)
+        v = qkv[:, base + 2 * dh: base + 3 * dh].astype(adt)
         s = jax.lax.dot_general(
-            q.astype(dt), k.astype(dt), (((1,), (1,)), ((), ())),
+            q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale + bias
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(jnp.dot(p.astype(dt), v.astype(dt),
+        outs.append(jnp.dot(p.astype(adt), v,
                             preferred_element_type=jnp.float32))
     # static concat: Mosaic has no dynamic_update_slice lowering (the
     # value-level .at[].set alternative lowers to exactly that primitive)
@@ -107,41 +114,42 @@ def _ffn(x, w1, b1, w2, b2):
 # Squeezeformer block (reference nb cell 5 SqueezeformerBlock, eval mode)
 # ---------------------------------------------------------------------------
 
-def _squeeze_kernel(num_heads, dim, x_ref, mask_ref,
-                    n1g, n1b, f1w1, f1b1, f1w2, f1b2,
-                    n2g, n2b, qkvw, projw,
-                    cng, cnb, pw1w, pw1b, dww, pw2w, pw2b,
-                    se1w, se1b, se2w, se2b,
-                    n3g, n3b, f2w1, f2b1, f2w2, f2b2,
-                    o_ref):
-    x = x_ref[:].astype(jnp.float32)
-    maskrow = mask_ref[:].astype(jnp.float32)  # [1, T]
-
+def _squeeze_body(num_heads, dim, x, maskrow,
+                  n1g, n1b, f1w1, f1b1, f1w2, f1b2,
+                  n2g, n2b, qkvw, projw,
+                  cng, cnb, pw1w, pw1b, dww, pw2w, pw2b,
+                  se1w, se1b, se2w, se2b,
+                  n3g, n3b, f2w1, f2b1, f2w2, f2b2):
     # FFN1
-    x = x + _ffn(_ln(x, n1g[:], n1b[:], LN_EPS),
-                 f1w1[:], f1b1[:], f1w2[:], f1b2[:])
+    x = x + _ffn(_ln(x, n1g, n1b, LN_EPS), f1w1, f1b1, f1w2, f1b2)
     # MHSA
-    x = x + _mhsa(_ln(x, n2g[:], n2b[:], LN_EPS), maskrow,
-                  qkvw[:], projw[:], num_heads, dim)
+    x = x + _mhsa(_ln(x, n2g, n2b, LN_EPS), maskrow,
+                  qkvw, projw, num_heads, dim)
     # Conv module: LN -> pw1 swish -> causal dw swish -> pw2 -> SE -> +res
-    h = _ln(x, cng[:], cnb[:], LN_EPS)
-    h = _swish(_mm(h, pw1w[:]) + pw1b[:])
-    h = _swish(_dwconv(h, dww[:], causal=True))
-    h = _mm(h, pw2w[:]) + pw2b[:]
+    h = _ln(x, cng, cnb, LN_EPS)
+    h = _swish(_mm(h, pw1w) + pw1b)
+    h = _swish(_dwconv(h, dww, causal=True))
+    h = _mm(h, pw2w) + pw2b
     g = _masked_gap(h, maskrow)
-    g = _swish(_mm(g, se1w[:]) + se1b[:])
-    g = jax.nn.sigmoid(_mm(g, se2w[:]) + se2b[:])
+    g = _swish(_mm(g, se1w) + se1b)
+    g = jax.nn.sigmoid(_mm(g, se2w) + se2b)
     x = x + h * g
     # FFN2
-    x = x + _ffn(_ln(x, n3g[:], n3b[:], LN_EPS),
-                 f2w1[:], f2b1[:], f2w2[:], f2b2[:])
-    o_ref[:] = x.astype(o_ref.dtype)
+    return x + _ffn(_ln(x, n3g, n3b, LN_EPS), f2w1, f2b1, f2w2, f2b2)
+
+
+def _squeeze_kernel(num_heads, dim, x_ref, mask_ref, *rest):
+    *w, o_ref = rest
+    o_ref[:] = _squeeze_body(
+        num_heads, dim, x_ref[:].astype(jnp.float32),
+        mask_ref[:].astype(jnp.float32), *(r[:] for r in w)
+    ).astype(o_ref.dtype)
 
 
 def _squeeze_args(p, dt):
     """Flatten a flax SqueezeformerBlock param dict into the kernel order.
-    Matmul weights are stored at ``dt`` (halves HBM->VMEM streaming and
-    selects the MXU multiply precision, see ``_mm``); vectors stay f32."""
+    Matmul weights are stored at ``dt`` (halves the HBM->VMEM stream at
+    bf16, see ``_mm``); vectors stay f32."""
     row = lambda v: jnp.asarray(v, jnp.float32)[None, :]  # noqa: E731
     mat = lambda v: jnp.asarray(v, dt)                    # noqa: E731
     c = p["conv"]
@@ -167,35 +175,36 @@ def _squeeze_args(p, dt):
 # Conformer block (reference nb cell 5 ConformerBlock, eval mode)
 # ---------------------------------------------------------------------------
 
-def _conformer_kernel(num_heads, dim, x_ref, mask_ref,
-                      l1g, l1b, f1w1, f1b1, f1w2, f1b2,
-                      qkvw, projw,
-                      pw1w, pw1b, dww, dwb, bng, bnb, bnm, bnv,
-                      pw2w, pw2b, clng, clnb,
-                      l2g, l2b, f2w1, f2b1, f2w2, f2b2,
-                      o_ref):
-    x = x_ref[:].astype(jnp.float32)
-    maskrow = mask_ref[:].astype(jnp.float32)
-
+def _conformer_body(num_heads, dim, x, maskrow,
+                    l1g, l1b, f1w1, f1b1, f1w2, f1b2,
+                    qkvw, projw,
+                    pw1w, pw1b, dww, dwb, bng, bnb, bnm, bnv,
+                    pw2w, pw2b, clng, clnb,
+                    l2g, l2b, f2w1, f2b1, f2w2, f2b2):
     # FFN1 and MHSA share ln1 (reference quirk)
-    x = x + _ffn(_ln(x, l1g[:], l1b[:], LN_EPS),
-                 f1w1[:], f1b1[:], f1w2[:], f1b2[:])
-    x = x + _mhsa(_ln(x, l1g[:], l1b[:], LN_EPS), maskrow,
-                  qkvw[:], projw[:], num_heads, dim)
+    x = x + _ffn(_ln(x, l1g, l1b, LN_EPS), f1w1, f1b1, f1w2, f1b2)
+    x = x + _mhsa(_ln(x, l1g, l1b, LN_EPS), maskrow,
+                  qkvw, projw, num_heads, dim)
     # Conv module: pw1 -> GLU -> 'same' dw(+bias) -> BN(stats) -> pw2
     # -> LN(x + res), default-eps norms (reference quirk)
     res = x
-    h = _mm(x, pw1w[:]) + pw1b[:]
+    h = _mm(x, pw1w) + pw1b
     a, b = h[:, :dim], h[:, dim:]
     h = a * jax.nn.sigmoid(b)
-    h = _dwconv(h, dww[:], causal=False) + dwb[:]
-    h = (h - bnm[:]) * jax.lax.rsqrt(bnv[:] + BN_EPS) * bng[:] + bnb[:]
-    h = _mm(h, pw2w[:]) + pw2b[:]
-    x = _ln(h + res, clng[:], clnb[:], LN_EPS_DEFAULT)
+    h = _dwconv(h, dww, causal=False) + dwb
+    h = (h - bnm) * jax.lax.rsqrt(bnv + BN_EPS) * bng + bnb
+    h = _mm(h, pw2w) + pw2b
+    x = _ln(h + res, clng, clnb, LN_EPS_DEFAULT)
     # FFN2
-    x = x + _ffn(_ln(x, l2g[:], l2b[:], LN_EPS),
-                 f2w1[:], f2b1[:], f2w2[:], f2b2[:])
-    o_ref[:] = x.astype(o_ref.dtype)
+    return x + _ffn(_ln(x, l2g, l2b, LN_EPS), f2w1, f2b1, f2w2, f2b2)
+
+
+def _conformer_kernel(num_heads, dim, x_ref, mask_ref, *rest):
+    *w, o_ref = rest
+    o_ref[:] = _conformer_body(
+        num_heads, dim, x_ref[:].astype(jnp.float32),
+        mask_ref[:].astype(jnp.float32), *(r[:] for r in w)
+    ).astype(o_ref.dtype)
 
 
 def _conformer_args(p, stats, dt):
@@ -236,9 +245,10 @@ def fused_squeezeformer_block(x, mask, params, *, num_heads: int,
                               interpret: bool | None = None,
                               compute_dtype=jnp.bfloat16):
     """x [T, dim] f32, mask [T] bool/float -> [T, dim]. ``params`` is the
-    flax SqueezeformerBlock param subtree. ``compute_dtype`` sets the MXU
-    multiply precision (bf16 default = deploy numerics; f32 = exact parity
-    with the flax module, used by the CPU tests)."""
+    flax SqueezeformerBlock param subtree. ``compute_dtype`` sets the matmul
+    weight STORAGE dtype (bf16 default = deploy numerics, halves the weight
+    stream; f32 = exact parity with the flax module, used by the CPU tests).
+    Dots always run with f32 operands — see ``_mm``."""
     if interpret is None:
         interpret = not _on_tpu()
     dim = x.shape[-1]
@@ -259,6 +269,86 @@ def fused_conformer_block(x, mask, params, batch_stats, *, num_heads: int,
     return _call(kernel, x, mask,
                  _conformer_args(params, batch_stats, compute_dtype),
                  interpret)
+
+
+# ---------------------------------------------------------------------------
+# Grid-pipelined block stacks: one kernel for N same-type blocks
+# ---------------------------------------------------------------------------
+#
+# The single-block kernels pay, per block, one kernel launch plus a
+# weight-stream that cannot overlap the previous block's compute (an empty
+# copy-through block kernel measured 6.6 of the 9.2 us total on v5e —
+# RESULTS.md round 2). Stacking the N blocks' weights on a leading axis and
+# making the block index the pallas grid dimension turns the whole stack into
+# ONE kernel: Mosaic's grid pipeline prefetches block i+1's weights during
+# block i's compute, the activations never leave a VMEM scratch, and launch
+# overhead is paid once.
+
+def _stack_kernel(body, num_heads, dim, x_ref, mask_ref, *rest):
+    *w, o_ref, acc = rest
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc[:] = x_ref[:].astype(jnp.float32)
+
+    out = body(num_heads, dim, acc[:], mask_ref[:].astype(jnp.float32),
+               *(r[0] for r in w))
+    acc[:] = out
+    # constant out index: the buffer is flushed to HBM once, after the
+    # final grid step
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _stack_call(body, x, mask, per_block_args, num_heads, interpret):
+    n = len(per_block_args)
+    stacked = tuple(jnp.stack(ws) for ws in zip(*per_block_args))
+    maskrow = jnp.asarray(mask, jnp.float32)[None, :]
+    dim = x.shape[-1]
+    const = lambda *_: (0, 0)  # noqa: E731
+
+    def wspec(w):
+        nd = w.ndim - 1
+        return pl.BlockSpec((1,) + w.shape[1:],
+                            lambda i, nd=nd: (i,) + (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_stack_kernel, body, num_heads, dim)
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[pl.BlockSpec(x.shape, const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec(maskrow.shape, const,
+                               memory_space=pltpu.VMEM)]
+        + [wspec(w) for w in stacked],
+        out_specs=pl.BlockSpec(x.shape, const, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((x.shape[0], dim), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(x), maskrow, *stacked)
+
+
+def fused_squeezeformer_stack(x, mask, params_list, *, num_heads: int,
+                              interpret: bool | None = None,
+                              compute_dtype=jnp.bfloat16):
+    """Run ``len(params_list)`` SqueezeformerBlocks as one grid-pipelined
+    kernel. Semantics identical to chaining :func:`fused_squeezeformer_block`."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    args = [_squeeze_args(p, compute_dtype) for p in params_list]
+    return _stack_call(_squeeze_body, x, mask, args, num_heads, interpret)
+
+
+def fused_conformer_stack(x, mask, params_list, stats_list, *, num_heads: int,
+                          interpret: bool | None = None,
+                          compute_dtype=jnp.bfloat16):
+    """Run ``len(params_list)`` ConformerBlocks as one grid-pipelined
+    kernel (eval mode, BN moving stats)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    args = [_conformer_args(p, s, compute_dtype)
+            for p, s in zip(params_list, stats_list)]
+    return _stack_call(_conformer_body, x, mask, args, num_heads, interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -295,19 +385,22 @@ def fused_encoder_forward(cfg, variables, x, *, interpret: bool | None = None,
     h = (h - bs["mean"]) * jax.lax.rsqrt(bs["var"] + STEM_BN_EPS) \
         * bn["scale"] + bn["bias"]
 
-    if cfg.variant in ("squeezeformer", "hybrid"):
-        for i in range(cfg.num_squeeze_blocks):
-            h = fused_squeezeformer_block(
-                h, mask, params[f"squeezeformer_{i}"],
-                num_heads=cfg.num_heads, interpret=interpret,
-                compute_dtype=compute_dtype)
-    if cfg.variant in ("conformer", "hybrid"):
-        for i in range(cfg.num_conform_blocks):
-            h = fused_conformer_block(
-                h, mask, params[f"conformer_{i}"],
-                stats[f"conformer_{i}"],
-                num_heads=cfg.num_heads, interpret=interpret,
-                compute_dtype=compute_dtype)
+    if cfg.variant in ("squeezeformer", "hybrid") and cfg.num_squeeze_blocks:
+        h = fused_squeezeformer_stack(
+            h, mask,
+            [params[f"squeezeformer_{i}"]
+             for i in range(cfg.num_squeeze_blocks)],
+            num_heads=cfg.num_heads, interpret=interpret,
+            compute_dtype=compute_dtype)
+    if cfg.variant in ("conformer", "hybrid") and cfg.num_conform_blocks:
+        h = fused_conformer_stack(
+            h, mask,
+            [params[f"conformer_{i}"]
+             for i in range(cfg.num_conform_blocks)],
+            [stats[f"conformer_{i}"]
+             for i in range(cfg.num_conform_blocks)],
+            num_heads=cfg.num_heads, interpret=interpret,
+            compute_dtype=compute_dtype)
 
     h = _mm(h, params["top_conv"]["kernel"]) + params["top_conv"]["bias"]
     h = jax.nn.relu(h)

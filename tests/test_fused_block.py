@@ -88,3 +88,45 @@ def test_fused_encoder_rejects_conv_variants(rng):
     cfg = EncoderConfig(variant="conv_hybrid", dim=32, frame_len=16)
     with pytest.raises(ValueError):
         fused_encoder_forward(cfg, {"params": {}}, jnp.zeros((16, 276)))
+
+
+@pytest.mark.parametrize("n", [1, 3])
+def test_stack_matches_chained_blocks(rng, n):
+    """The grid-pipelined stack kernel == chaining single-block kernels."""
+    from ishara_tpu.ops.fused_block import (
+        fused_conformer_stack,
+        fused_squeezeformer_stack,
+    )
+
+    T, dim, heads, k = 24, 64, 4, 15
+    x = _rand_x(rng, T, dim)
+    mask = jnp.asarray(rng.random(T) > 0.2)
+    sq = SqueezeformerBlock(dim, heads, 2, k, dropout=0.0)
+    params = [sq.init(jax.random.key(i), x[None], mask[None], False)["params"]
+              for i in range(n)]
+    want = x
+    for p in params:
+        want = fused_squeezeformer_block(want, mask, p, num_heads=heads,
+                                         interpret=True,
+                                         compute_dtype=jnp.float32)
+    got = fused_squeezeformer_stack(x, mask, params, num_heads=heads,
+                                    interpret=True,
+                                    compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    cf = ConformerBlock(dim, heads, 2, 15, attn_dropout=0.0, drop_rate=0.0)
+    vs = [cf.init(jax.random.key(10 + i), x[None], mask[None], False)
+          for i in range(n)]
+    want = x
+    for v in vs:
+        want = fused_conformer_block(want, mask, v["params"],
+                                     v["batch_stats"], num_heads=heads,
+                                     interpret=True,
+                                     compute_dtype=jnp.float32)
+    got = fused_conformer_stack(x, mask, [v["params"] for v in vs],
+                                [v["batch_stats"] for v in vs],
+                                num_heads=heads, interpret=True,
+                                compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
