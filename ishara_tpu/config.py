@@ -52,6 +52,13 @@ class EncoderConfig:
     # route MHSA through the Pallas flash kernel (ops/attention.py) instead
     # of XLA einsum; measured per-size — see RESULTS.md kernel measurements
     use_flash: bool = False
+    # causal/streaming mode (beyond the reference, ROADMAP #5): every frame's
+    # output depends only on frames <= t (causal attention bounded by
+    # attn_context keys, causal convs, cumulative SE gate), enabling the
+    # stateful chunked StreamingEncoder (serve/streaming.py) for live
+    # captioning. Only the attention-block families support it.
+    causal: bool = False
+    attn_context: int = 256    # max left-context keys a query may attend to
 
 
 @dataclass

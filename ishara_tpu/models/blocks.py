@@ -66,6 +66,8 @@ class SqueezeformerBlock(nn.Module):
     dropout: float = 0.1
     use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
+    causal: bool = False
+    attn_context: int = 0
 
     @nn.compact
     def __call__(self, x, mask=None, training: bool = False):
@@ -80,12 +82,15 @@ class SqueezeformerBlock(nn.Module):
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)
         h = MultiHeadSelfAttention(self.dim, self.num_heads, self.dropout,
                                    dtype=self.dtype,
-                                   use_flash=self.use_flash, name="mha")(
+                                   use_flash=self.use_flash,
+                                   causal=self.causal,
+                                   attn_context=self.attn_context, name="mha")(
             h, mask=mask, deterministic=det)
         x = res + FastDropout(self.dropout)(h, deterministic=det)
 
         x = SqueezeformerConvModule(self.dim, self.kernel_size,
                                     self.expansion_factor, dtype=self.dtype,
+                                    causal_se=self.causal,
                                     name="conv")(x, mask=mask)
 
         res = x
@@ -110,6 +115,8 @@ class ConformerBlock(nn.Module):
     drop_rate: float = 0.1
     use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
+    causal: bool = False
+    attn_context: int = 0
 
     @nn.compact
     def __call__(self, x, mask=None, training: bool = False):
@@ -125,11 +132,14 @@ class ConformerBlock(nn.Module):
         h = ln1(x)
         h = MultiHeadSelfAttention(self.dim, self.num_heads, self.attn_dropout,
                                    dtype=self.dtype,
-                                   use_flash=self.use_flash, name="mha")(
+                                   use_flash=self.use_flash,
+                                   causal=self.causal,
+                                   attn_context=self.attn_context, name="mha")(
             h, mask=mask, deterministic=det)
         x = res + h
 
         x = ConformerConvModule(self.dim, self.kernel_size, dtype=self.dtype,
+                                causal=self.causal,
                                 name="conv")(x, training=training)
 
         res = x

@@ -60,19 +60,26 @@ class IsharaEncoder(nn.Module):
             return x
 
         v = cfg.variant
+        if cfg.causal and v not in ("squeezeformer", "conformer", "hybrid"):
+            raise ValueError(
+                f"causal/streaming mode supports the attention-block "
+                f"families, not {v!r} (the conv families' ECA gate is "
+                f"whole-sequence)")
         if v in ("squeezeformer", "hybrid"):
             for i in range(cfg.num_squeeze_blocks):
                 x = SqueezeformerBlockR(
                     cfg.dim, cfg.num_heads, cfg.expansion_factor,
                     cfg.transformer_kernel_size, cfg.dropout, dtype=dtype,
-                    use_flash=cfg.use_flash,
+                    use_flash=cfg.use_flash, causal=cfg.causal,
+                    attn_context=cfg.attn_context if cfg.causal else 0,
                     name=f"squeezeformer_{i}")(x, mask, training)
         if v in ("conformer", "hybrid"):
             for i in range(cfg.num_conform_blocks):
                 x = ConformerBlockR(
                     cfg.dim, cfg.num_heads, cfg.expansion_factor,
                     cfg.transformer_kernel_size, cfg.dropout, cfg.dropout,
-                    dtype=dtype, use_flash=cfg.use_flash,
+                    dtype=dtype, use_flash=cfg.use_flash, causal=cfg.causal,
+                    attn_context=cfg.attn_context if cfg.causal else 0,
                     name=f"conformer_{i}")(x, mask, training)
         if v == "conv_hybrid":
             for i in range(cfg.num_squeeze_blocks):

@@ -54,6 +54,20 @@ def masked_global_average_pool(x: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.
     return jnp.sum(x * m, axis=1) / denom
 
 
+def causal_masked_mean(x: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarray:
+    """[B, T, C] -> [B, T, C] running mean over valid frames <= t.
+
+    The causal-mode replacement for the global average pool: frame t's
+    pooled statistic uses only its past, so the op streams (state = running
+    sum + count, serve/streaming.py). Not a reference behavior — causal mode
+    is an Ishara-TPU extension (ROADMAP #5)."""
+    m = (jnp.ones_like(x[..., :1]) if mask is None
+         else mask[..., None].astype(x.dtype))
+    s = jnp.cumsum(x * m, axis=1)
+    c = jnp.maximum(jnp.cumsum(m, axis=1), 1.0)
+    return s / c
+
+
 class ECA(nn.Module):
     """Efficient channel attention: GAP -> Conv1D(1, k) over channels -> gate."""
 
@@ -73,21 +87,30 @@ class ECA(nn.Module):
 
 
 class SqueezeExcite(nn.Module):
-    """SE gate: masked GAP -> Dense(C/r, swish) -> Dense(C, sigmoid)."""
+    """SE gate: masked GAP -> Dense(C/r, swish) -> Dense(C, sigmoid).
+
+    ``causal=True`` swaps the whole-sequence GAP for the running mean
+    (:func:`causal_masked_mean`) so the gate at frame t sees only <= t;
+    parameter shapes are unchanged, so causal and batch mode share weights.
+    """
 
     channels: int
     reduction_ratio: int = 8
     dtype: jnp.dtype = jnp.float32
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
-        g = masked_global_average_pool(x, mask)
+        if self.causal:
+            g = causal_masked_mean(x, mask)  # [B, T, C]
+        else:
+            g = masked_global_average_pool(x, mask)  # [B, C]
         g = nn.Dense(max(1, self.channels // self.reduction_ratio),
                      dtype=self.dtype, name="fc1")(g)
         g = nn.swish(g)
         g = nn.Dense(self.channels, dtype=self.dtype, name="fc2")(g)
         g = nn.sigmoid(g)
-        return x * g[:, None, :]
+        return x * g if self.causal else x * g[:, None, :]
 
 
 class CausalDWConv1D(nn.Module):
@@ -138,6 +161,10 @@ class MultiHeadSelfAttention(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    # causal mode (streaming families): queries attend to keys k <= q within
+    # the last `attn_context` frames (0 = unbounded left context)
+    causal: bool = False
+    attn_context: int = 0
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -150,6 +177,23 @@ class MultiHeadSelfAttention(nn.Module):
         qkv = qkv.reshape(B, T, H, 3 * Dh).transpose(0, 2, 1, 3)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         scale = self.dim ** -0.5
+
+        if self.causal:
+            qi = jnp.arange(T)[:, None]
+            ki = jnp.arange(T)[None, :]
+            allowed = ki <= qi
+            if self.attn_context > 0:
+                allowed &= (qi - ki) < self.attn_context
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+            full = (allowed[None, :, :] if mask is None
+                    else allowed[None] & mask[:, None, :])
+            attn = jnp.where(full[:, None], attn, jnp.finfo(attn.dtype).min)
+            attn = nn.softmax(attn, axis=-1)
+            attn = FastDropout(self.dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, self.dim)
+            return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                            name="proj")(out)
 
         rate = 0.0 if deterministic else self.dropout
         # in-kernel dropout needs the TPU PRNG; interpret mode (CPU tests)
@@ -241,6 +285,7 @@ class SqueezeformerConvModule(nn.Module):
     kernel_size: int
     expansion_factor: int = 2
     dtype: jnp.dtype = jnp.float32
+    causal_se: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -252,7 +297,8 @@ class SqueezeformerConvModule(nn.Module):
         x = CausalDWConv1D(self.kernel_size, dtype=self.dtype, name="dw")(x)
         x = nn.swish(x)
         x = nn.Conv(self.dim, (1,), dtype=self.dtype, name="pw2")(x)
-        x = SqueezeExcite(self.dim, dtype=self.dtype, name="se")(x, mask=mask)
+        x = SqueezeExcite(self.dim, dtype=self.dtype, causal=self.causal_se,
+                          name="se")(x, mask=mask)
         return x + res
 
 
@@ -266,6 +312,7 @@ class ConformerConvModule(nn.Module):
     dim: int
     kernel_size: int = 31
     dtype: jnp.dtype = jnp.float32
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -274,7 +321,8 @@ class ConformerConvModule(nn.Module):
         a, b = jnp.split(x, 2, axis=-1)
         x = a * nn.sigmoid(b)
         x = nn.Conv(
-            self.dim, (self.kernel_size,), padding="SAME",
+            self.dim, (self.kernel_size,),
+            padding=[(self.kernel_size - 1, 0)] if self.causal else "SAME",
             feature_group_count=self.dim, dtype=self.dtype, name="dw",
         )(x)
         x = nn.BatchNorm(

@@ -6,6 +6,7 @@ from .export import (
     load_engine,
     load_serving_program,
 )
+from .streaming import StreamingEncoder, StreamState
 from .translation_engine import TranslationEngine
 from .import_weights import (
     diff_variables,
@@ -18,6 +19,8 @@ __all__ = [
     "FALLBACK_IDS",
     "BatchedEngine",
     "InferenceEngine",
+    "StreamingEncoder",
+    "StreamState",
     "TranslationEngine",
     "export_model",
     "export_serving_program",
