@@ -78,6 +78,13 @@ class TrainConfig:
     # LR-flip augmentation prob (reference data_loader.py p=0.5); default off —
     # it fights EncoderConfig.dominant_hand canonicalization, enable only one
     lr_flip_prob: float = 0.0
+    # quantization-aware training: forward through the int8 fake-quantizer
+    # (train/qat.py) so the int8 export bundle is accuracy-faithful
+    qat: bool = False
+    # length-bucketed batching (data/sampler.py): allowed static raw-frame
+    # caps, ascending; () = one global cap (the reference's behavior). Each
+    # cap compiles its own step program (a handful, cached by jit).
+    bucket_boundaries: tuple[int, ...] = ()
     seed: int = 42
     steps_per_epoch: int = 1000      # set from dataset at runtime
     checkpoint_every_epochs: int = 40

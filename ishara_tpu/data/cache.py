@@ -20,38 +20,47 @@ from . import landmarks as lm
 from .vocab import PAD_TOKEN_IDX
 
 
-def write_shards(dataset, out_dir: str | Path, shard_size: int = 512) -> Path:
-    """Pack any render-protocol dataset into .npz shards + manifest."""
+def write_shards(dataset, out_dir: str | Path, shard_size: int = 512,
+                 num_workers: int = 1) -> Path:
+    """Pack any render-protocol dataset into .npz shards + manifest.
+
+    ``num_workers > 1`` writes shards concurrently (thread pool: render is
+    parquet/numpy IO and savez_compressed's zlib both release the GIL —
+    ROADMAP #8 corpus-scale hardening). Shard assignment is a fixed
+    sequential grouping, so the output is byte-identical for any worker
+    count."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    manifest = []
-    shard_idx = 0
-    buf_x, buf_len, buf_phrase = [], [], []
+    n = len(dataset)
+    groups = [(s, list(range(s * shard_size,
+                             min((s + 1) * shard_size, n))))
+              for s in range((n + shard_size - 1) // shard_size)]
 
-    def flush():
-        nonlocal shard_idx, buf_x, buf_len, buf_phrase
-        if not buf_x:
-            return
-        Tmax = max(x.shape[0] for x in buf_x)
-        arr = np.full((len(buf_x), Tmax, lm.N_COLS), np.nan, np.float32)
-        for i, x in enumerate(buf_x):
+    def build(arg):
+        shard_idx, idxs = arg
+        xs, lens, phrases = [], [], []
+        for i in idxs:
+            x, phrase = dataset.render(i)
+            xs.append(x.astype(np.float32))
+            lens.append(x.shape[0])
+            phrases.append(phrase)
+        Tmax = max(x.shape[0] for x in xs)
+        arr = np.full((len(xs), Tmax, lm.N_COLS), np.nan, np.float32)
+        for i, x in enumerate(xs):
             arr[i, : x.shape[0]] = x
         path = out_dir / f"shard_{shard_idx:05d}.npz"
         np.savez_compressed(path, x=arr,
-                            lengths=np.asarray(buf_len, np.int32),
-                            phrases=np.asarray(buf_phrase, object))
-        manifest.append({"file": path.name, "count": len(buf_x)})
-        shard_idx += 1
-        buf_x, buf_len, buf_phrase = [], [], []
+                            lengths=np.asarray(lens, np.int32),
+                            phrases=np.asarray(phrases, object))
+        return {"file": path.name, "count": len(xs)}
 
-    for i in range(len(dataset)):
-        x, phrase = dataset.render(i)
-        buf_x.append(x.astype(np.float32))
-        buf_len.append(x.shape[0])
-        buf_phrase.append(phrase)
-        if len(buf_x) >= shard_size:
-            flush()
-    flush()
+    if num_workers > 1 and len(groups) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            manifest = list(pool.map(build, groups))
+    else:
+        manifest = [build(g) for g in groups]
     (out_dir / "manifest.json").write_text(json.dumps(manifest))
     return out_dir
 
@@ -74,6 +83,15 @@ class ShardedASLFR:
 
     def __len__(self):
         return self._total
+
+    def sequence_lengths(self) -> list[int]:
+        """Per-sequence raw frame counts (length-bucketed sampling,
+        data/sampler.py) without materializing the landmark arrays."""
+        out: list[int] = []
+        for f in self._shards:
+            z = np.load(self.dir / f, allow_pickle=True)
+            out.extend(int(v) for v in z["lengths"])
+        return out
 
     def _shard_for(self, idx: int) -> tuple[dict, int]:
         import bisect

@@ -122,6 +122,7 @@ def ctc_train_step(
 def make_fused_ctc_train_step(
     stats, frame_len: int, aug_prob: float = 0.2, blank_id: int = 59,
     lr_flip_prob: float = 0.0, dominant_hand: bool = False,
+    qat: bool = False,
 ):
     """Train step with augmentation + preprocessing fused into the same XLA
     program: batch arrives raw ([B, Tmax, 276] + lengths), the whole
@@ -129,9 +130,11 @@ def make_fused_ctc_train_step(
     chain is one dispatch (the reference splits this across tf.data threads
     and the training graph). ``dominant_hand`` canonicalizes handedness in
     the fused preprocess (must match serving); ``lr_flip_prob`` enables the
-    LR-flip aug."""
+    LR-flip aug; ``qat`` trains through the int8 fake-quantizer
+    (train/qat.py) so the int8 export bundle is accuracy-faithful."""
     from ..preprocess.augment import augment
     from ..preprocess.pipeline import preprocess
+    from .qat import fake_quant_tree
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -148,6 +151,8 @@ def make_fused_ctc_train_step(
         x = jax.vmap(prep)(keys, batch["raw"], batch["lengths"])
 
         def loss_fn(params):
+            if qat:
+                params = fake_quant_tree(params)
             logits, updates = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 x, training=True,
@@ -166,19 +171,23 @@ def make_fused_ctc_train_step(
 
 
 def make_fused_ctc_eval_step(stats, frame_len: int, blank_id: int = 59,
-                             dominant_hand: bool = False):
+                             dominant_hand: bool = False, qat: bool = False):
     """Eval step: preprocess (no aug) -> forward -> loss -> greedy decode,
-    one program."""
+    one program. With ``qat`` the forward runs through the same int8
+    fake-quantizer as training, so validation scores reflect the int8
+    deployment numerics."""
     from ..decode.greedy import greedy_decode_batch
     from ..preprocess.pipeline import preprocess
+    from .qat import fake_quant_tree
 
     def step(state: TrainState, batch: dict):
         x = jax.vmap(
             lambda r, l: preprocess(r, l, stats, frame_len,
                                     dominant_hand=dominant_hand)
         )(batch["raw"], batch["lengths"])
+        params = fake_quant_tree(state.params) if qat else state.params
         logits = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": params, "batch_stats": state.batch_stats},
             x, training=False,
         )
         loss = ctc_loss(logits, batch["labels"], blank_id=blank_id)

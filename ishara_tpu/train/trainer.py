@@ -59,6 +59,7 @@ class Trainer:
         self.workdir = Path(workdir)
         self.mesh = mesh
         self.max_raw_frames = max_raw_frames
+        self._bucket_sampler = None
         self.task = task
 
         mcfg = config.model
@@ -81,10 +82,11 @@ class Trainer:
                 self.stats, mcfg.frame_len, tcfg.aug_prob, mcfg.blank_id,
                 lr_flip_prob=tcfg.lr_flip_prob,
                 dominant_hand=mcfg.dominant_hand,
+                qat=tcfg.qat,
             )
             eval_step = make_fused_ctc_eval_step(
                 self.stats, mcfg.frame_len, mcfg.blank_id,
-                dominant_hand=mcfg.dominant_hand,
+                dominant_hand=mcfg.dominant_hand, qat=tcfg.qat,
             )
         elif task == "translation":
             from ..models.seq2seq import ASLTranslationModel
@@ -164,12 +166,28 @@ class Trainer:
             out = {k: jax.device_put(v, self._bsh) for k, v in out.items()}
         return out
 
-    def _epoch_indices(self, epoch: int) -> np.ndarray:
-        rng = np.random.default_rng(self.cfg.train.seed * 1000 + epoch)
+    def _epoch_indices(self, epoch: int) -> list:
+        """Per-epoch batches as (indices, max_frames) pairs. With
+        ``bucket_boundaries`` set, batches are length-bucketed
+        (data/sampler.py) so short sequences collate/ship/compute at a
+        smaller static cap."""
+        tcfg = self.cfg.train
+        if tcfg.bucket_boundaries:
+            if self._bucket_sampler is None:
+                from ..data.sampler import BucketSampler, dataset_lengths
+
+                caps = tuple(min(b, self.max_raw_frames)
+                             for b in tcfg.bucket_boundaries)
+                self._bucket_sampler = BucketSampler(
+                    dataset_lengths(self.train_data), tcfg.batch_size,
+                    caps, seed=tcfg.seed)
+            return self._bucket_sampler.batches(epoch)
+        rng = np.random.default_rng(tcfg.seed * 1000 + epoch)
         idx = rng.permutation(len(self.train_data))
-        bs = self.cfg.train.batch_size
+        bs = tcfg.batch_size
         n = (len(idx) // bs) * bs
-        return idx[:n].reshape(-1, bs) if n else idx[:0].reshape(0, bs)
+        batched = idx[:n].reshape(-1, bs) if n else idx[:0].reshape(0, bs)
+        return [(b, self.max_raw_frames) for b in batched]
 
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int, rng) -> float:
@@ -178,9 +196,8 @@ class Trainer:
         tput = Throughput()
         losses = []
         batches = prefetch(
-            (self.train_data.batch(idx, self.tokenizer,
-                                   max_frames=self.max_raw_frames)
-             for idx in self._epoch_indices(epoch)),
+            (self.train_data.batch(idx, self.tokenizer, max_frames=cap)
+             for idx, cap in self._epoch_indices(epoch)),
             depth=2,
         )
         for bi, batch in enumerate(batches):
