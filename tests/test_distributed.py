@@ -100,3 +100,71 @@ def test_host_local_to_global_single_process_train_step():
     new_state, metrics = jax.jit(ctc_train_step)(state, gbatch, rng)
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
+
+
+def test_multislice_mesh_train_step_matches_single_device():
+    """A 2-slice x 4-chip (dcn, data) mesh trains with the batch sharded
+    over both axes and produces the same loss as the unsharded step."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ishara_tpu.config import EncoderConfig, TrainConfig
+    from ishara_tpu.data.synthetic import SyntheticASLFR
+    from ishara_tpu.data.tokenizer import CTCTokenizer
+    from ishara_tpu.models import IsharaEncoder
+    from ishara_tpu.parallel.mesh import (
+        make_multislice_mesh,
+        multislice_batch_sharding,
+    )
+    from ishara_tpu.train import TrainState, ctc_train_step, make_optimizer
+    from ishara_tpu.preprocess import GroupStats, preprocess_batch
+
+    mesh = make_multislice_mesh(num_slices=2)
+    assert mesh.shape == {"dcn": 2, "data": 4}
+
+    cfg = EncoderConfig(dim=32, variant="hybrid", num_squeeze_blocks=1,
+                        num_conform_blocks=1, num_heads=4, frame_len=16,
+                        transformer_kernel_size=7, dropout=0.0,
+                        top_dropout=0.0, top_mult=1)
+    model = IsharaEncoder(cfg)
+    tok = CTCTokenizer()
+    ds = SyntheticASLFR(num_sequences=16, seed=0, max_phrase=4)
+    batch = ds.batch(range(16), tok, max_frames=24)
+    x = preprocess_batch(jnp.asarray(batch["raw"]),
+                         jnp.asarray(batch["lengths"]),
+                         GroupStats.identity(), cfg.frame_len)
+    jb = {"x": x, "labels": jnp.asarray(batch["labels"])}
+
+    tx, _ = make_optimizer(TrainConfig(steps_per_epoch=10))
+    sample = jnp.zeros((1, cfg.frame_len, cfg.input_dim), jnp.float32)
+    state = TrainState.create(model, tx, sample)
+
+    ref_state, ref_m = jax.jit(ctc_train_step)(state, jb, jax.random.key(0))
+
+    bsh = multislice_batch_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    sharded = jax.jit(
+        ctc_train_step,
+        in_shardings=(rep, {"x": bsh, "labels": bsh}, rep),
+        out_shardings=(rep, rep),
+    )
+    st = jax.device_put(state, rep)
+    jbs = {k: jax.device_put(v, bsh) for k, v in jb.items()}
+    out_state, m = sharded(st, jbs, jax.device_put(jax.random.key(0), rep))
+    np.testing.assert_allclose(float(m["loss"]), float(ref_m["loss"]),
+                               rtol=1e-5)
+    # params updated identically
+    a = jax.tree_util.tree_leaves(out_state.params)[0]
+    b = jax.tree_util.tree_leaves(ref_state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_multislice_mesh_guards():
+    import pytest
+
+    from ishara_tpu.parallel.mesh import make_multislice_mesh
+
+    with pytest.raises(ValueError):
+        make_multislice_mesh()  # CPU devices report no slice_index
+    with pytest.raises(ValueError):
+        make_multislice_mesh(num_slices=16)  # more slices than devices
