@@ -49,8 +49,8 @@ def main():
         checkpoint_every_epochs=10 ** 6)
 
     tok = CTCTokenizer()
-    train = SyntheticASLFR(num_sequences=args.sequences, seed=0)
-    val = SyntheticASLFR(num_sequences=64, seed=99)
+    train = SyntheticASLFR(num_sequences=args.sequences, seed=0, proto_seed=7)
+    val = SyntheticASLFR(num_sequences=64, seed=99, proto_seed=7)
     tr = Trainer(cfg, train, val, tok, workdir="runs/stream_demo")
     print(f"training causal model ({args.epochs} epochs)...", flush=True)
     tr.train()
