@@ -1,0 +1,44 @@
+"""Fused serving kernels ON THE REAL CHIP (Mosaic lowering + numerics).
+
+The interpret-mode tests (test_fused_block.py) prove semantics; these prove
+the Mosaic TPU lowering — which has its own constraints (round 2 caught a
+`dynamic_update_slice` with no TPU lowering that interpret mode happily
+ran) — and the bf16-storage deploy numerics on hardware.
+
+Run: ``ISHARA_TEST_TPU=1 pytest tests/test_fused_block_tpu.py``
+(skipped on the CPU CI mesh).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ishara_tpu.config import baseline_config
+from ishara_tpu.models import IsharaEncoder
+from ishara_tpu.ops.fused_block import fused_encoder_forward
+
+if jax.devices()[0].platform not in ("tpu", "axon"):
+    pytest.skip("needs the real chip", allow_module_level=True)
+
+
+def test_flagship_fused_forward_on_chip(rng):
+    cfg = baseline_config(5).model
+    model = IsharaEncoder(cfg)
+    x = rng.standard_normal((cfg.frame_len, cfg.input_dim)).astype(np.float32)
+    x[150:] = 0.0  # padding tail exercises the mask
+    variables = model.init(jax.random.key(0), jnp.asarray(x)[None])
+    ref = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x[None], training=False)[0]
+    )(variables, jnp.asarray(x)))
+    got = np.asarray(jax.jit(
+        lambda v, x: fused_encoder_forward(cfg, v, x, interpret=False)
+    )(variables, jnp.asarray(x)))
+    scale = np.abs(ref).max()
+    maxdiff = np.abs(ref - got).max()
+    # bf16 deploy numerics: ~1% of logit scale (argmax decode unaffected),
+    # measured 0.019 on scale 2.2 (RESULTS.md round 2)
+    assert maxdiff < 0.05 * scale, (maxdiff, scale)
+    # and the decode-relevant contract: argmax ids agree on valid frames
+    agree = (ref[:150].argmax(-1) == got[:150].argmax(-1)).mean()
+    assert agree > 0.98, agree
