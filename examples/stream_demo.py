@@ -70,7 +70,7 @@ def main():
         t0 = time.perf_counter()
         state, ids, n, _ = eng.step(state, raw[i:i + args.chunk])
         dt = (time.perf_counter() - t0) * 1e3
-        caption.extend(int(v) for v in np.asarray(ids) if v >= 0)
+        caption.extend(StreamingEncoder.collect([ids]))
         sys.stdout.write(f"\r  frame {i + args.chunk:4d}  "
                          f"[{dt:6.1f} ms/chunk]  "
                          f"caption: {eng.decode_text(caption)!r:40s}")

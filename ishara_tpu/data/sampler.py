@@ -56,12 +56,17 @@ class BucketSampler:
         rng = np.random.default_rng(self.seed * 1000 + epoch)
         out = []
         bs = self.batch_size
-        for b, idx in self._by_bucket.items():
-            if len(idx) < bs:
-                continue  # same drop-last policy as the unbucketed path
+        carry = np.zeros((0,), np.int64)
+        for b in self.boundaries:  # ascending: spilled members still fit
+            idx = np.concatenate([carry, self._by_bucket[b]])
             perm = rng.permutation(idx)
             n = (len(perm) // bs) * bs
             for chunk in perm[:n].reshape(-1, bs):
                 out.append((chunk, b))
+            # sub-batch leftovers spill into the next (larger) cap instead
+            # of being the same permanently-excluded sequences every epoch;
+            # only the last bucket's remainder is dropped, and the per-epoch
+            # permutation rotates which sequences that is
+            carry = perm[n:]
         order = rng.permutation(len(out))
         return [out[i] for i in order]

@@ -373,6 +373,14 @@ def fused_encoder_forward(cfg, variables, x, *, interpret: bool | None = None,
     if cfg.variant not in ("squeezeformer", "conformer", "hybrid"):
         raise ValueError(f"fused path covers the attention-block families, "
                          f"not {cfg.variant!r}")
+    if getattr(cfg, "causal", False):
+        # the kernels implement the bidirectional eval semantics; silently
+        # serving a causal-trained model through them would apply full
+        # attention / whole-sequence SE the weights never saw. Streaming
+        # models serve via serve.StreamingEncoder or the XLA path.
+        raise ValueError("fused serving kernels do not implement "
+                         "cfg.causal semantics; use InferenceEngine("
+                         "fused=False) or serve.StreamingEncoder")
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     mask = frame_mask(x)

@@ -48,10 +48,10 @@ def make_multislice_mesh(num_slices: int = -1, devices=None,
         width = min(len(r) for r in rows)
         arr = np.asarray([r[:width] for r in rows])
     else:
-        n = len(devices) if num_slices in (-1, None) else num_slices
         if num_slices in (-1, None):
             raise ValueError("num_slices required when the platform does "
                              "not report slice_index")
+        n = num_slices
         per = len(devices) // n
         if per == 0:
             raise ValueError(f"{len(devices)} devices < {n} slices")

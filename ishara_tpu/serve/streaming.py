@@ -58,6 +58,10 @@ class StreamState(NamedTuple):
     pos: jnp.ndarray                 # scalar int32, global frame index
     blocks: tuple                    # BlockState per encoder block
     prev_id: jnp.ndarray             # scalar int32, last emitted CTC id
+    # validity of the cached attention-key frames [W] (Keras Masking(0.0)
+    # semantics: a frame with any nonzero feature is valid) — one vector
+    # for the whole stack, since validity is a property of the input frame
+    valid_cache: jnp.ndarray = jnp.zeros((0,), jnp.float32)
 
 
 def _ln(x, p, eps):
@@ -75,12 +79,13 @@ def _ffn(x, p):
     return h @ p["fc2"]["kernel"] + p["fc2"]["bias"]
 
 
-def _mhsa_step(h, p, st: BlockState, pos, num_heads, dim, window):
+def _mhsa_step(h, p, st: BlockState, pos, num_heads, dim, window, valid_all):
     """h [C, dim] post-LN chunk; returns ([C, dim], new k/v caches).
 
     Cache row j holds the projection of global frame ``pos - W + j``
     (invalid while that is negative). Queries attend causally within the
-    last ``window`` frames — identical to the batch causal mask."""
+    last ``window`` frames to VALID keys (``valid_all`` [W+C], Masking(0.0)
+    semantics) — identical to the batch causal mask."""
     C = h.shape[0]
     W = st.k_cache.shape[0]
     dh = dim // num_heads
@@ -98,6 +103,7 @@ def _mhsa_step(h, p, st: BlockState, pos, num_heads, dim, window):
     gq = pos + jnp.arange(C)[:, None]              # [C, 1] global query pos
     gk = pos - W + jnp.arange(W + C)[None, :]      # [1, W+C] global key pos
     allowed = (gk <= gq) & (gk >= 0) & (gq - gk < window)
+    allowed &= valid_all[None, :] > 0.5
 
     scale = dim ** -0.5  # reference full-dim scale quirk
     s = jnp.einsum("qhd,khd->hqk", q, kh) * scale
@@ -120,11 +126,13 @@ def _causal_dw_step(h, w, tail):
     return out, full[C:]
 
 
-def _squeeze_block_step(x, p, st: BlockState, pos, num_heads, dim, window):
-    """Streaming SqueezeformerBlock (eval): FFN1 -> MHSA -> conv(SE) -> FFN2."""
+def _squeeze_block_step(x, p, st: BlockState, pos, num_heads, dim, window,
+                        valid_all, valid):
+    """Streaming SqueezeformerBlock (eval): FFN1 -> MHSA -> conv(SE) -> FFN2.
+    ``valid`` [C] marks real frames; only they feed the SE running mean."""
     x = x + _ffn(_ln(x, p["norm1"], LN_EPS), p["ffn1"])
     att, k_c, v_c = _mhsa_step(_ln(x, p["norm2"], LN_EPS), p["mha"], st, pos,
-                               num_heads, dim, window)
+                               num_heads, dim, window, valid_all)
     x = x + att
     # conv module
     h = _ln(x, p["conv"]["norm"], LN_EPS)
@@ -133,10 +141,12 @@ def _squeeze_block_step(x, p, st: BlockState, pos, num_heads, dim, window):
                               st.conv_tail)
     h = _swish(h)
     h = h @ p["conv"]["pw2"]["kernel"][0] + p["conv"]["pw2"]["bias"]
-    # running-mean SE gate (the streaming form of causal_masked_mean)
+    # running-mean SE gate (the streaming form of causal_masked_mean):
+    # invalid frames contribute neither sum nor count, like the batch mask
     C = h.shape[0]
-    cum = st.se_sum[None, :] + jnp.cumsum(h, axis=0)
-    cnt = st.se_count + jnp.arange(1, C + 1, dtype=jnp.float32)[:, None]
+    m = valid[:, None]
+    cum = st.se_sum[None, :] + jnp.cumsum(h * m, axis=0)
+    cnt = st.se_count + jnp.cumsum(valid)[:, None]
     g = cum / jnp.maximum(cnt, 1.0)
     g = _swish(g @ p["conv"]["se"]["fc1"]["kernel"]
                + p["conv"]["se"]["fc1"]["bias"])
@@ -144,17 +154,18 @@ def _squeeze_block_step(x, p, st: BlockState, pos, num_heads, dim, window):
                        + p["conv"]["se"]["fc2"]["bias"])
     x = x + h * g
     x = x + _ffn(_ln(x, p["norm3"], LN_EPS), p["ffn2"])
-    new_st = BlockState(k_c, v_c, tail, cum[-1], st.se_count + C)
+    new_st = BlockState(k_c, v_c, tail, cum[-1],
+                        st.se_count + jnp.sum(valid))
     return x, new_st
 
 
 def _conformer_block_step(x, p, bs, st: BlockState, pos, num_heads, dim,
-                          window):
+                          window, valid_all):
     """Streaming ConformerBlock (eval): shared-ln1 FFN1/MHSA, causal GLU
     conv with BN running stats, post-LN residual, FFN2."""
     x = x + _ffn(_ln(x, p["ln1"], LN_EPS), p["ffn1"])
     att, k_c, v_c = _mhsa_step(_ln(x, p["ln1"], LN_EPS), p["mha"], st, pos,
-                               num_heads, dim, window)
+                               num_heads, dim, window, valid_all)
     x = x + att
     res = x
     h = x @ p["conv"]["pw1"]["kernel"][0] + p["conv"]["pw1"]["bias"]
@@ -179,9 +190,11 @@ class StreamingEncoder:
 
     >>> eng = StreamingEncoder(cfg, variables, stats, chunk_size=8)
     >>> state = eng.init_state()
+    >>> collected = []
     >>> for chunk in frames.reshape(-1, 8, 276):
-    ...     state, ids, n = eng.step(state, chunk)   # n new CTC symbols
-    >>> text = eng.decode_text(collected_ids)
+    ...     state, ids, n, logits = eng.step(state, chunk)
+    ...     collected.append(ids)
+    >>> text = eng.decode_text(StreamingEncoder.collect(collected))
     """
 
     def __init__(self, cfg: EncoderConfig, variables, stats: GroupStats
@@ -193,7 +206,18 @@ class StreamingEncoder:
             raise ValueError(f"streaming unsupported for {cfg.variant!r}")
         if cfg.attn_context <= 0:
             raise ValueError("streaming needs a bounded attn_context (> 0)")
+        if cfg.dominant_hand:
+            # dominant-hand canonicalization picks the hand with fewer NaNs
+            # over the WHOLE sequence (preprocess.dominant_hand_mirror) — a
+            # live stream has no whole sequence, so a model trained with it
+            # would silently see the wrong hand layout here
+            raise ValueError(
+                "cfg.dominant_hand models cannot stream: the mirror "
+                "decision needs the full sequence; train the streaming "
+                "model with dominant_hand=False (lr_flip augmentation "
+                "instead)")
         self.cfg = cfg
+        self.max_positions = int(max_positions)
         self.chunk_size = int(chunk_size)
         self.params = jax.tree_util.tree_map(
             lambda v: jnp.asarray(v, jnp.float32), variables["params"])
@@ -232,7 +256,8 @@ class StreamingEncoder:
         blocks += tuple(blk(cfg.dim, k, False)
                         for _ in range(self._n_conform))
         return StreamState(pos=jnp.int32(0), blocks=blocks,
-                           prev_id=jnp.int32(self.cfg.blank_id))
+                           prev_id=jnp.int32(self.cfg.blank_id),
+                           valid_cache=jnp.zeros((W,), jnp.float32))
 
     # -- one chunk --------------------------------------------------------
 
@@ -246,6 +271,11 @@ class StreamingEncoder:
 
         x = jnp.nan_to_num((chunk[:, _OUT_PERM] - self._mean) / self._std,
                            nan=0.0)
+        # Keras Masking(0.0) semantics, like the batch path's frame_mask:
+        # an all-zero frame (e.g. full tracking dropout) is not a valid
+        # attention key and does not feed the SE running mean
+        valid = jnp.any(x != 0.0, axis=-1).astype(jnp.float32)      # [C]
+        valid_all = jnp.concatenate([state.valid_cache, valid])     # [W+C]
         # stem: Dense -> +PE[global pos] -> BN(running stats)
         x = x @ p["stem_conv"]["kernel"]
         pe = jax.lax.dynamic_slice_in_dim(self._pe, state.pos, C)
@@ -260,14 +290,15 @@ class StreamingEncoder:
         for i in range(self._n_squeeze):
             x, st = _squeeze_block_step(
                 x, p[f"squeezeformer_{i}"], state.blocks[bi], state.pos,
-                cfg.num_heads, cfg.dim, window)
+                cfg.num_heads, cfg.dim, window, valid_all, valid)
             new_blocks.append(st)
             bi += 1
         for i in range(self._n_conform):
             x, st = _conformer_block_step(
                 x, p[f"conformer_{i}"],
                 self.batch_stats[f"conformer_{i}"]["conv"],
-                state.blocks[bi], state.pos, cfg.num_heads, cfg.dim, window)
+                state.blocks[bi], state.pos, cfg.num_heads, cfg.dim, window,
+                valid_all)
             new_blocks.append(st)
             bi += 1
 
@@ -280,7 +311,8 @@ class StreamingEncoder:
         emit = (ids != prev) & (ids != cfg.blank_id)
         out_ids = jnp.where(emit, ids, -1)
         new_state = StreamState(pos=state.pos + C, blocks=tuple(new_blocks),
-                                prev_id=ids[-1])
+                                prev_id=ids[-1],
+                                valid_cache=valid_all[C:])
         return new_state, out_ids, jnp.sum(emit), logits
 
     def step(self, state: StreamState, chunk):
@@ -291,6 +323,12 @@ class StreamingEncoder:
         if chunk.shape != (self.chunk_size, self.cfg.input_dim):
             raise ValueError(f"chunk must be [{self.chunk_size}, "
                              f"{self.cfg.input_dim}], got {chunk.shape}")
+        if int(state.pos) + self.chunk_size > self.max_positions:
+            # the PE table would clamp and silently repeat its last rows
+            raise ValueError(
+                f"stream exceeds max_positions={self.max_positions}; "
+                f"construct StreamingEncoder with a larger max_positions "
+                f"or restart the state")
         return self._step(state, chunk)
 
     @staticmethod

@@ -64,7 +64,20 @@ class Trainer:
 
         mcfg = config.model
         tcfg = config.train
-        steps_per_epoch = max(1, len(train_data) // tcfg.batch_size)
+        if tcfg.bucket_boundaries:
+            # build the sampler up front so the LR schedule is sized to the
+            # ACTUAL bucketed step count (each bucket drops its own
+            # remainder, so it is below len//batch_size)
+            from ..data.sampler import BucketSampler, dataset_lengths
+
+            caps = tuple(sorted({min(b, self.max_raw_frames)
+                                 for b in tcfg.bucket_boundaries}))
+            self._bucket_sampler = BucketSampler(
+                dataset_lengths(train_data), tcfg.batch_size, caps,
+                seed=tcfg.seed)
+            steps_per_epoch = max(1, len(self._bucket_sampler.batches(0)))
+        else:
+            steps_per_epoch = max(1, len(train_data) // tcfg.batch_size)
         tcfg.steps_per_epoch = steps_per_epoch
 
         tx, self.schedule = make_optimizer(tcfg)
@@ -172,15 +185,7 @@ class Trainer:
         (data/sampler.py) so short sequences collate/ship/compute at a
         smaller static cap."""
         tcfg = self.cfg.train
-        if tcfg.bucket_boundaries:
-            if self._bucket_sampler is None:
-                from ..data.sampler import BucketSampler, dataset_lengths
-
-                caps = tuple(min(b, self.max_raw_frames)
-                             for b in tcfg.bucket_boundaries)
-                self._bucket_sampler = BucketSampler(
-                    dataset_lengths(self.train_data), tcfg.batch_size,
-                    caps, seed=tcfg.seed)
+        if self._bucket_sampler is not None:
             return self._bucket_sampler.batches(epoch)
         rng = np.random.default_rng(tcfg.seed * 1000 + epoch)
         idx = rng.permutation(len(self.train_data))

@@ -19,13 +19,27 @@ def test_buckets_respect_boundaries(rng):
         for i in idx:
             assert i not in seen  # no duplicates across batches
             seen.add(i)
-            L = lengths[i]
+            # members always fit their cap (spill-up only), except the last
+            # bucket which truncates (batch(..., max_frames=cap) semantics)
             if cap < 384:
-                assert L <= cap
-            # members wouldn't fit a smaller allowed cap
-            smaller = [b for b in (96, 192) if b < cap]
-            if smaller:
-                assert L > smaller[-1]
+                assert lengths[i] <= cap
+    # at most one sub-batch remainder is dropped per epoch
+    assert len(lengths) - len(seen) < 16
+
+
+def test_small_buckets_spill_up_not_lost():
+    """Sequences in a sub-batch-size bucket are trained (at the next cap),
+    not permanently excluded."""
+    # 10 short sequences (< one batch) + 64 long ones
+    lengths = np.asarray([50] * 10 + [150] * 64)
+    s = BucketSampler(lengths, batch_size=16, boundaries=(96, 192), seed=0)
+    covered = set()
+    for epoch in range(3):
+        for idx, cap in s.batches(epoch):
+            covered.update(int(i) for i in idx)
+            if any(i < 10 for i in idx):
+                assert cap == 192  # shorts ride along in the larger cap
+    assert covered >= set(range(10))
 
 
 def test_deterministic_and_epoch_varying():

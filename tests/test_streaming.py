@@ -75,6 +75,28 @@ def test_streaming_matches_batch_causal(rng, variant, chunk):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_streaming_matches_batch_with_invalid_frames(rng):
+    """Frames with zero signal (tracking dropout) are excluded from
+    attention keys and the SE running mean in BOTH paths — parity must hold
+    through a mid-stream dropout burst."""
+    cfg = _causal_cfg(variant="hybrid")
+    model, variables = _variables(cfg)
+    T = cfg.frame_len
+    raw = _raw_frames(rng, T)
+    raw[10:14] = 0.0   # dropout burst inside the stream
+    raw[-4:] = 0.0     # and a trailing one
+    want = np.asarray(_batch_causal_logits(model, variables, raw))
+
+    eng = StreamingEncoder(cfg, variables, chunk_size=8)
+    state = eng.init_state()
+    got = []
+    for i in range(0, T, 8):
+        state, _, _, logits = eng.step(state, raw[i:i + 8])
+        got.append(np.asarray(logits))
+    np.testing.assert_allclose(np.concatenate(got), want,
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_streaming_bounded_context_matches_windowed_batch(rng):
     """With attn_context < T the streaming output still equals the batch
     causal forward (whose mask applies the same window)."""
@@ -166,6 +188,23 @@ def test_guards(rng):
         StreamingEncoder(cfg, variables)
     with pytest.raises(ValueError):
         StreamingEncoder(_causal_cfg(attn_context=0), variables)
+    with pytest.raises(ValueError):
+        # whole-sequence dominant-hand canonicalization cannot stream
+        StreamingEncoder(_causal_cfg(dominant_hand=True), variables)
+    # PE table exhaustion raises instead of silently clamping
+    eng = StreamingEncoder(_causal_cfg(attn_context=8), variables,
+                           chunk_size=8, max_positions=16)
+    state = eng.init_state()
+    state, *_ = eng.step(state, _raw_frames(rng, 8))
+    state, *_ = eng.step(state, _raw_frames(rng, 8))
+    with pytest.raises(ValueError):
+        eng.step(state, _raw_frames(rng, 8))
+    # fused serving kernels refuse causal configs (semantics mismatch)
+    from ishara_tpu.ops.fused_block import fused_encoder_forward
+
+    with pytest.raises(ValueError):
+        fused_encoder_forward(_causal_cfg(), variables,
+                              jnp.zeros((32, 276)), interpret=True)
     cfg_conv = EncoderConfig(variant="conv_hybrid", dim=32, frame_len=16,
                              causal=True)
     with pytest.raises(ValueError):
