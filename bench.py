@@ -152,6 +152,36 @@ def main():
     except Exception as e:  # pragma: no cover
         log("fused serving path failed:", repr(e))
 
+    # --- int8-weight fused path: quarter-width HBM weight stream with
+    # in-kernel dequant; numerics == the int8 export bundle's (measured
+    # lossless on the serving harness, RESULTS.md QAT section) ---
+    try:
+        t0 = time.perf_counter()
+        engine_q = InferenceEngine(model, variables, max_raw_frames=384,
+                                   fused="int8")
+        log(f"compile(int8 fused): {time.perf_counter() - t0:.1f}s")
+        single_q = engine_q.program_fn()
+
+        def int8_loop(K):
+            def body(carry, i):
+                raw = db[i % N] + carry * 1e-12
+                _, cnt = single_q(engine_q.variables, raw, dl[i % N])
+                return (carry + cnt).astype(jnp.float32), None
+
+            compiled = jax.jit(
+                lambda: jax.lax.scan(body, jnp.float32(0), jnp.arange(K))[0]
+            ).lower().compile()
+            return lambda: float(compiled())
+
+        q_lo, q_hi = int8_loop(lo), int8_loop(hi)
+        t_lo3, t_hi3 = med_time(q_lo, n=7), med_time(q_hi, n=7)
+        int8_ms = (t_hi3 - t_lo3) / (hi - lo) * 1e3
+        log(f"on-chip batch-1 per-seq [int8 fused kernels]: {int8_ms:.3f} ms")
+        if int8_ms < per_seq_ms:
+            per_seq_ms = int8_ms
+    except Exception as e:  # pragma: no cover
+        log("int8 fused serving path failed:", repr(e))
+
     # --- secondary: host->host including the tunnel ---
     for s in range(4):
         engine(bufs[s])

@@ -54,7 +54,18 @@ def _mm(a, w):
     HBM->VMEM stream, which is the kernel's bottleneck) and are upcast at
     the dot: on v5e, f32-operand Mosaic dots measured 1.7x faster than
     bf16-operand dots (61.7 -> 46.2 us whole-encoder with bf16 streaming;
-    bf16-operand dots hit a relayout slow path — RESULTS.md round 2)."""
+    bf16-operand dots hit a relayout slow path — RESULTS.md round 2).
+
+    ``w`` may also be an int8 pair ``(q [I, O] int8, scale [1, O] f32)``
+    (the export/QAT symmetric per-output-channel scheme): the quarter-width
+    matrix streams HBM->VMEM, the dot runs on the upcast f32 operands, and
+    the per-channel scale folds in AFTER the dot — mathematically identical
+    to dequantize-then-dot (sum_i a_i q_ij) * s_j == sum_i a_i (q_ij s_j),
+    but the scale multiply touches [T, O] instead of [I, O]."""
+    if isinstance(w, tuple):
+        q, s = w
+        return jnp.dot(a.astype(jnp.float32), q.astype(jnp.float32),
+                       preferred_element_type=jnp.float32) * s
     return jnp.dot(a.astype(jnp.float32), w.astype(jnp.float32),
                    preferred_element_type=jnp.float32)
 
@@ -68,8 +79,10 @@ def _mhsa(x, maskrow, qkv_w, proj_w, num_heads, dim):
     outs = []
     # per-head dots run with bf16 operands (f32 accumulate): unlike the
     # weight matmuls these are activation×activation products where the
-    # bf16 MXU path measured faster (71 -> 46 us whole-encoder on v5e)
-    adt = qkv_w.dtype
+    # bf16 MXU path measured faster (71 -> 46 us whole-encoder on v5e);
+    # int8-stored weights keep the bf16 activation path (activations are
+    # never int8 — only the HBM-resident weights are)
+    adt = jnp.bfloat16 if isinstance(qkv_w, tuple) else qkv_w.dtype
     for h in range(num_heads):
         base = h * 3 * dh
         q = qkv[:, base: base + dh].astype(adt)
@@ -86,6 +99,54 @@ def _mhsa(x, maskrow, qkv_w, proj_w, num_heads, dim):
     # static concat: Mosaic has no dynamic_update_slice lowering (the
     # value-level .at[].set alternative lowers to exactly that primitive)
     return _mm(jnp.concatenate(outs, axis=1), proj_w)
+
+
+def _is_q(v):
+    """An export-scheme int8 leaf: {"q": int8 [..., O], "scale": f32 [O]}."""
+    return isinstance(v, dict) and set(v.keys()) == {"q", "scale"}
+
+
+def _deq(v):
+    """Dequantize an export-scheme leaf (float leaves pass through), f32."""
+    if _is_q(v):
+        return jnp.asarray(v["q"], jnp.float32) * jnp.asarray(
+            v["scale"], jnp.float32)
+    return jnp.asarray(v, jnp.float32)
+
+
+def _mat_fn(dt):
+    """Matmul-weight loader for storage mode ``dt``: a float dtype, or the
+    string "int8" — leaves must then be export-scheme {"q","scale"} dicts
+    (quantize_serving_weights) and are handed to the kernel as
+    (q int8, scale-row f32) pairs that ``_mm`` consumes."""
+    if dt == "int8":
+        def mat(v):
+            if not _is_q(v):
+                raise ValueError(
+                    'compute_dtype="int8" requires params quantized with '
+                    "quantize_serving_weights (the export int8 scheme)")
+            return (jnp.asarray(v["q"], jnp.int8),
+                    jnp.asarray(v["scale"], jnp.float32)[None, :])
+        return mat
+    return lambda v: jnp.asarray(_deq(v), dt)
+
+
+def _first(v):
+    """Drop a leading singleton kernel axis ([1, I, O] conv1x1 -> [I, O]),
+    through either a float leaf or an int8 {"q","scale"} dict."""
+    if _is_q(v):
+        return {"q": v["q"][0], "scale": v["scale"]}
+    return v[0]
+
+
+def quantize_serving_weights(tree):
+    """Host-side symmetric per-output-channel int8 on >=2-D float kernels —
+    exactly the export scheme (serve/export._quantize_tree, bit-matched by
+    TrainConfig.qat's fake-quantizer), so the int8-fused serving path
+    computes the same numerics an int8 export bundle deploys."""
+    from ..serve.export import _quantize_tree
+
+    return _quantize_tree(tree)
 
 
 def _masked_gap(x, maskrow):
@@ -138,20 +199,22 @@ def _squeeze_body(num_heads, dim, x, maskrow,
     return x + _ffn(_ln(x, n3g, n3b, LN_EPS), f2w1, f2b1, f2w2, f2b2)
 
 
-def _squeeze_kernel(num_heads, dim, x_ref, mask_ref, *rest):
+def _squeeze_kernel(num_heads, dim, treedef, x_ref, mask_ref, *rest):
     *w, o_ref = rest
+    args = jax.tree_util.tree_unflatten(treedef, [r[:] for r in w])
     o_ref[:] = _squeeze_body(
         num_heads, dim, x_ref[:].astype(jnp.float32),
-        mask_ref[:].astype(jnp.float32), *(r[:] for r in w)
+        mask_ref[:].astype(jnp.float32), *args
     ).astype(o_ref.dtype)
 
 
 def _squeeze_args(p, dt):
     """Flatten a flax SqueezeformerBlock param dict into the kernel order.
     Matmul weights are stored at ``dt`` (halves the HBM->VMEM stream at
-    bf16, see ``_mm``); vectors stay f32."""
+    bf16, quarters it at "int8" — see ``_mm``/``_mat_fn``); vectors stay
+    f32."""
     row = lambda v: jnp.asarray(v, jnp.float32)[None, :]  # noqa: E731
-    mat = lambda v: jnp.asarray(v, dt)                    # noqa: E731
+    mat = _mat_fn(dt)
     c = p["conv"]
     return (
         row(p["norm1"]["scale"]), row(p["norm1"]["bias"]),
@@ -160,9 +223,9 @@ def _squeeze_args(p, dt):
         row(p["norm2"]["scale"]), row(p["norm2"]["bias"]),
         mat(p["mha"]["qkv"]["kernel"]), mat(p["mha"]["proj"]["kernel"]),
         row(c["norm"]["scale"]), row(c["norm"]["bias"]),
-        mat(c["pw1"]["kernel"][0]), row(c["pw1"]["bias"]),
-        jnp.asarray(c["dw"]["dwconv"]["kernel"][:, 0, :], jnp.float32),
-        mat(c["pw2"]["kernel"][0]), row(c["pw2"]["bias"]),
+        mat(_first(c["pw1"]["kernel"])), row(c["pw1"]["bias"]),
+        _deq(c["dw"]["dwconv"]["kernel"])[:, 0, :],
+        mat(_first(c["pw2"]["kernel"])), row(c["pw2"]["bias"]),
         mat(c["se"]["fc1"]["kernel"]), row(c["se"]["fc1"]["bias"]),
         mat(c["se"]["fc2"]["kernel"]), row(c["se"]["fc2"]["bias"]),
         row(p["norm3"]["scale"]), row(p["norm3"]["bias"]),
@@ -199,29 +262,30 @@ def _conformer_body(num_heads, dim, x, maskrow,
     return x + _ffn(_ln(x, l2g, l2b, LN_EPS), f2w1, f2b1, f2w2, f2b2)
 
 
-def _conformer_kernel(num_heads, dim, x_ref, mask_ref, *rest):
+def _conformer_kernel(num_heads, dim, treedef, x_ref, mask_ref, *rest):
     *w, o_ref = rest
+    args = jax.tree_util.tree_unflatten(treedef, [r[:] for r in w])
     o_ref[:] = _conformer_body(
         num_heads, dim, x_ref[:].astype(jnp.float32),
-        mask_ref[:].astype(jnp.float32), *(r[:] for r in w)
+        mask_ref[:].astype(jnp.float32), *args
     ).astype(o_ref.dtype)
 
 
 def _conformer_args(p, stats, dt):
     row = lambda v: jnp.asarray(v, jnp.float32)[None, :]  # noqa: E731
-    mat = lambda v: jnp.asarray(v, dt)                    # noqa: E731
+    mat = _mat_fn(dt)
     c = p["conv"]
     return (
         row(p["ln1"]["scale"]), row(p["ln1"]["bias"]),
         mat(p["ffn1"]["fc1"]["kernel"]), row(p["ffn1"]["fc1"]["bias"]),
         mat(p["ffn1"]["fc2"]["kernel"]), row(p["ffn1"]["fc2"]["bias"]),
         mat(p["mha"]["qkv"]["kernel"]), mat(p["mha"]["proj"]["kernel"]),
-        mat(c["pw1"]["kernel"][0]), row(c["pw1"]["bias"]),
-        jnp.asarray(c["dw"]["kernel"][:, 0, :], jnp.float32),
+        mat(_first(c["pw1"]["kernel"])), row(c["pw1"]["bias"]),
+        _deq(c["dw"]["kernel"])[:, 0, :],
         row(c["dw"]["bias"]),
         row(c["bn"]["scale"]), row(c["bn"]["bias"]),
         row(stats["conv"]["bn"]["mean"]), row(stats["conv"]["bn"]["var"]),
-        mat(c["pw2"]["kernel"][0]), row(c["pw2"]["bias"]),
+        mat(_first(c["pw2"]["kernel"])), row(c["pw2"]["bias"]),
         row(c["ln"]["scale"]), row(c["ln"]["bias"]),
         row(p["ln2"]["scale"]), row(p["ln2"]["bias"]),
         mat(p["ffn2"]["fc1"]["kernel"]), row(p["ffn2"]["fc1"]["bias"]),
@@ -230,10 +294,13 @@ def _conformer_args(p, stats, dt):
 
 
 def _call(kernel, x, mask, args, interpret):
+    # args may contain int8 (q, scale) pairs — flatten to kernel inputs and
+    # hand the treedef to the kernel so the body sees the original structure
     maskrow = jnp.asarray(mask, jnp.float32)[None, :]
-    ins = (jnp.asarray(x), maskrow) + args
+    flat, treedef = jax.tree_util.tree_flatten(args)
+    ins = (jnp.asarray(x), maskrow) + tuple(flat)
     return pl.pallas_call(
-        kernel,
+        functools.partial(kernel, treedef),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ins),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -247,8 +314,10 @@ def fused_squeezeformer_block(x, mask, params, *, num_heads: int,
     """x [T, dim] f32, mask [T] bool/float -> [T, dim]. ``params`` is the
     flax SqueezeformerBlock param subtree. ``compute_dtype`` sets the matmul
     weight STORAGE dtype (bf16 default = deploy numerics, halves the weight
-    stream; f32 = exact parity with the flax module, used by the CPU tests).
-    Dots always run with f32 operands — see ``_mm``."""
+    stream; f32 = exact parity with the flax module, used by the CPU tests;
+    "int8" = quarter-width stream with in-kernel dequant, params must be
+    pre-quantized via :func:`quantize_serving_weights`). Dots always run
+    with f32 operands — see ``_mm``."""
     if interpret is None:
         interpret = not _on_tpu()
     dim = x.shape[-1]
@@ -284,7 +353,7 @@ def fused_conformer_block(x, mask, params, batch_stats, *, num_heads: int,
 # block i's compute, the activations never leave a VMEM scratch, and launch
 # overhead is paid once.
 
-def _stack_kernel(body, num_heads, dim, x_ref, mask_ref, *rest):
+def _stack_kernel(body, num_heads, dim, treedef, x_ref, mask_ref, *rest):
     *w, o_ref, acc = rest
     i = pl.program_id(0)
 
@@ -292,8 +361,9 @@ def _stack_kernel(body, num_heads, dim, x_ref, mask_ref, *rest):
     def _():
         acc[:] = x_ref[:].astype(jnp.float32)
 
+    args = jax.tree_util.tree_unflatten(treedef, [r[0] for r in w])
     out = body(num_heads, dim, acc[:], mask_ref[:].astype(jnp.float32),
-               *(r[0] for r in w))
+               *args)
     acc[:] = out
     # constant out index: the buffer is flushed to HBM once, after the
     # final grid step
@@ -302,7 +372,11 @@ def _stack_kernel(body, num_heads, dim, x_ref, mask_ref, *rest):
 
 def _stack_call(body, x, mask, per_block_args, num_heads, interpret):
     n = len(per_block_args)
-    stacked = tuple(jnp.stack(ws) for ws in zip(*per_block_args))
+    # per-block args share one treedef (same block type); stack each leaf
+    # on a leading block axis that becomes the pallas grid dimension
+    flats = [jax.tree_util.tree_flatten(a) for a in per_block_args]
+    treedef = flats[0][1]
+    stacked = tuple(jnp.stack(ws) for ws in zip(*(f for f, _ in flats)))
     maskrow = jnp.asarray(mask, jnp.float32)[None, :]
     dim = x.shape[-1]
     const = lambda *_: (0, 0)  # noqa: E731
@@ -313,7 +387,7 @@ def _stack_call(body, x, mask, per_block_args, num_heads, interpret):
                             lambda i, nd=nd: (i,) + (0,) * nd,
                             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_stack_kernel, body, num_heads, dim)
+    kernel = functools.partial(_stack_kernel, body, num_heads, dim, treedef)
     return pl.pallas_call(
         kernel,
         grid=(n,),
@@ -366,6 +440,14 @@ def fused_encoder_forward(cfg, variables, x, *, interpret: bool | None = None,
     ``compute_dtype=jnp.float32``, to ~1% logit tolerance at the bf16
     deploy default (measured on v5e; decode is an argmax so the serving
     output is unaffected, tests/test_serving_extras.py).
+
+    ``compute_dtype="int8"`` streams the matmul weights as int8 with
+    in-kernel dequant (scale folded after the dot): ``variables["params"]``
+    must then be pre-quantized host-side with
+    :func:`quantize_serving_weights` — quantizing inside the program was
+    the measured round-1 regression (XLA re-materializes the dequantized
+    tree per sequence, RESULTS.md). Numerics equal the int8 export bundle's
+    (same scheme), ~1% logits like bf16; harness score measured lossless.
     """
     from ..models.layers import BN_EPS as STEM_BN_EPS, positional_encoding
     from ..preprocess.pipeline import frame_mask
@@ -385,8 +467,17 @@ def fused_encoder_forward(cfg, variables, x, *, interpret: bool | None = None,
     stats = variables.get("batch_stats", {})
     mask = frame_mask(x)
 
+    def wload(v):
+        # stem/top/classifier run as plain XLA ops: int8 leaves become
+        # (q, scale-row) pairs for _mm (3 small matrices — nothing like the
+        # whole-tree in-program dequant that regressed in round 1)
+        if _is_q(v):
+            return (jnp.asarray(v["q"]),
+                    jnp.asarray(v["scale"], jnp.float32)[None, :])
+        return jnp.asarray(v, jnp.float32)
+
     h = jnp.asarray(x, jnp.float32)
-    h = _mm(h, params["stem_conv"]["kernel"])
+    h = _mm(h, wload(params["stem_conv"]["kernel"]))
     h = h + jnp.asarray(positional_encoding(cfg.frame_len, cfg.dim),
                         jnp.float32)[: h.shape[0]]
     bn, bs = params["stem_bn"], stats["stem_bn"]
@@ -410,7 +501,8 @@ def fused_encoder_forward(cfg, variables, x, *, interpret: bool | None = None,
             num_heads=cfg.num_heads, interpret=interpret,
             compute_dtype=compute_dtype)
 
-    h = _mm(h, params["top_conv"]["kernel"]) + params["top_conv"]["bias"]
+    h = _mm(h, wload(params["top_conv"]["kernel"])) \
+        + params["top_conv"]["bias"]
     h = jax.nn.relu(h)
-    return _mm(h, params["classifier"]["kernel"]) \
+    return _mm(h, wload(params["classifier"]["kernel"])) \
         + params["classifier"]["bias"]

@@ -41,7 +41,7 @@ class InferenceEngine:
         decode: str = "greedy",
         beam_width: int = 8,
         beam_top_k: int = 8,
-        fused: bool = False,
+        fused: bool | str = False,
     ):
         """``decode``: "greedy" (reference parity) or "beam" (on-device CTC
         prefix beam search, decode/beam_device.py) — both fuse into the same
@@ -50,21 +50,30 @@ class InferenceEngine:
         ``fused=True`` runs the encoder through the whole-block Pallas
         kernels (ops/fused_block.py — one kernel per block instead of ~40
         XLA ops; batch-1 serving is op-count bound, see RESULTS.md).
-        Supported for the squeezeformer/conformer/hybrid families.
-
-        Measured negative result (RESULTS.md): keeping weights int8 in HBM
-        with in-program dequant was much slower on v5e (XLA re-materializes
-        the dequantized tree per sequence), so int8 stays an artifact-size
-        feature (export's quantize_int8), not a serving mode."""
+        ``fused="int8"`` additionally stores the matmul weights int8 in HBM
+        (export scheme, quantized once here on the host) and dequantizes
+        INSIDE the kernels — quartering the weight stream that dominates
+        the fused path. The round-1 negative result (int8 + in-*program*
+        XLA dequant, much slower because XLA re-materializes the
+        dequantized tree per sequence) does not apply in-kernel; see
+        RESULTS.md. Supported for the squeezeformer/conformer/hybrid
+        families."""
         self.model = model
         self.stats = stats or GroupStats.identity()
         self.max_raw_frames = max_raw_frames
         self.max_out = max_out
         cfg: EncoderConfig = model.cfg
         self.frame_len = cfg.frame_len
-        self.variables = variables
         if decode not in ("greedy", "beam"):
             raise ValueError(f"decode must be 'greedy' or 'beam', got {decode!r}")
+        if fused not in (False, True, "int8"):
+            raise ValueError(f"fused must be False, True or 'int8', got {fused!r}")
+        if fused == "int8":
+            from ..ops.fused_block import quantize_serving_weights
+
+            variables = dict(variables)
+            variables["params"] = quantize_serving_weights(variables["params"])
+        self.variables = variables
 
         def program(variables, raw, length):
             x = preprocess(raw, length, self.stats, self.frame_len, thin=True,
@@ -72,7 +81,9 @@ class InferenceEngine:
             if fused:
                 from ..ops.fused_block import fused_encoder_forward
 
-                logits = fused_encoder_forward(cfg, variables, x)
+                cdt = "int8" if fused == "int8" else jnp.bfloat16
+                logits = fused_encoder_forward(cfg, variables, x,
+                                               compute_dtype=cdt)
             else:
                 logits = self.model.apply(variables, x[None],
                                           training=False)[0]

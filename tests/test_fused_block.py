@@ -84,6 +84,45 @@ def test_fused_encoder_forward_parity(rng, variant):
                                rtol=0.05, atol=0.05)
 
 
+def test_fused_encoder_int8_parity(rng):
+    """int8-stored weights with in-kernel dequant == the XLA forward on the
+    dequantized tree (i.e. the int8 export bundle's serving numerics)."""
+    from ishara_tpu.ops.fused_block import quantize_serving_weights
+    from ishara_tpu.serve.export import _dequantize_tree
+
+    cfg = EncoderConfig(variant="hybrid", dim=64, num_squeeze_blocks=2,
+                        num_conform_blocks=2, num_heads=4, frame_len=24,
+                        transformer_kernel_size=7, dropout=0.0,
+                        top_dropout=0.0, top_mult=1)
+    model = build_model(cfg)
+    x = rng.standard_normal((24, cfg.input_dim)).astype(np.float32)
+    x[18:] = 0.0
+    variables = model.init(jax.random.key(0), jnp.asarray(x)[None])
+    qvars = {"params": quantize_serving_weights(variables["params"]),
+             "batch_stats": variables.get("batch_stats", {})}
+    deq = {"params": _dequantize_tree(qvars["params"]),
+           "batch_stats": qvars["batch_stats"]}
+    want = model.apply(deq, jnp.asarray(x)[None], training=False)[0]
+    got = fused_encoder_forward(cfg, qvars, jnp.asarray(x), interpret=True,
+                                compute_dtype="int8")
+    # scale-after-dot == dequantize-then-dot up to fp reassociation; the
+    # attention activation dots run bf16 exactly as the deploy default does
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.05, atol=0.05)
+
+
+def test_int8_mode_requires_quantized_params(rng):
+    cfg = EncoderConfig(variant="squeezeformer", dim=32,
+                        num_squeeze_blocks=1, num_heads=4, frame_len=16,
+                        dropout=0.0, top_dropout=0.0, top_mult=1)
+    model = build_model(cfg)
+    x = jnp.zeros((16, cfg.input_dim), jnp.float32)
+    variables = model.init(jax.random.key(0), x[None])
+    with pytest.raises(ValueError, match="quantize_serving_weights"):
+        fused_encoder_forward(cfg, variables, x, interpret=True,
+                              compute_dtype="int8")
+
+
 def test_fused_encoder_rejects_conv_variants(rng):
     cfg = EncoderConfig(variant="conv_hybrid", dim=32, frame_len=16)
     with pytest.raises(ValueError):

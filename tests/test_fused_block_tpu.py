@@ -42,3 +42,32 @@ def test_flagship_fused_forward_on_chip(rng):
     # and the decode-relevant contract: argmax ids agree on valid frames
     agree = (ref[:150].argmax(-1) == got[:150].argmax(-1)).mean()
     assert agree > 0.98, agree
+
+
+def test_flagship_int8_fused_forward_on_chip(rng):
+    """int8 weight streaming + in-kernel dequant lowers and matches the
+    dequantized-tree XLA forward on hardware (export-bundle numerics)."""
+    from ishara_tpu.ops.fused_block import quantize_serving_weights
+    from ishara_tpu.serve.export import _dequantize_tree
+
+    cfg = baseline_config(5).model
+    model = IsharaEncoder(cfg)
+    x = rng.standard_normal((cfg.frame_len, cfg.input_dim)).astype(np.float32)
+    x[150:] = 0.0
+    variables = model.init(jax.random.key(0), jnp.asarray(x)[None])
+    qvars = {"params": quantize_serving_weights(variables["params"]),
+             "batch_stats": variables.get("batch_stats", {})}
+    deq = {"params": _dequantize_tree(qvars["params"]),
+           "batch_stats": qvars["batch_stats"]}
+    ref = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x[None], training=False)[0]
+    )(deq, jnp.asarray(x)))
+    got = np.asarray(jax.jit(
+        lambda v, x: fused_encoder_forward(cfg, v, x, interpret=False,
+                                           compute_dtype="int8")
+    )(qvars, jnp.asarray(x)))
+    scale = np.abs(ref).max()
+    maxdiff = np.abs(ref - got).max()
+    assert maxdiff < 0.05 * scale, (maxdiff, scale)
+    agree = (ref[:150].argmax(-1) == got[:150].argmax(-1)).mean()
+    assert agree > 0.98, agree

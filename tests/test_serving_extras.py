@@ -24,6 +24,41 @@ def model_vars():
     return model, variables
 
 
+def test_int8_fused_engine_matches_dequantized(model_vars):
+    """InferenceEngine(fused="int8") — host-side quantize + in-kernel dequant
+    (interpret mode on CPU) — decodes like the plain engine serving the SAME
+    int8 weights (the dequantized tree = the int8 export bundle's numerics).
+    This random-init model has near-uniform logits, so a rare argmax tie-flip
+    from the fused path's bf16 attention dots is tolerated (on trained
+    models the margins dwarf the ~1% logit tolerance — RESULTS.md)."""
+    from ishara_tpu.ops.fused_block import quantize_serving_weights
+    from ishara_tpu.serve.export import _dequantize_tree
+
+    model, variables = model_vars
+    qparams = quantize_serving_weights(variables["params"])
+    deq_vars = {"params": _dequantize_tree(qparams),
+                "batch_stats": variables.get("batch_stats", {})}
+    plain = InferenceEngine(model, deq_vars, max_raw_frames=64)
+    q = InferenceEngine(model, variables, max_raw_frames=64, fused="int8")
+    ds = SyntheticASLFR(num_sequences=2, frames_per_char=4, min_phrase=2,
+                        max_phrase=3)
+    mismatches = positions = 0
+    for i in range(2):
+        s = ds.render(i)[0]
+        ids_p, count_p = plain(s)
+        ids_q, count_q = q(s)
+        assert count_q == count_p
+        mismatches += int((ids_q[:count_p] != ids_p[:count_p]).sum())
+        positions += count_p
+    assert mismatches <= max(1, positions // 10), (mismatches, positions)
+
+
+def test_engine_rejects_bad_fused_flag(model_vars):
+    model, variables = model_vars
+    with pytest.raises(ValueError, match="fused"):
+        InferenceEngine(model, variables, max_raw_frames=64, fused="int4")
+
+
 def test_batched_engine_matches_single(model_vars):
     model, variables = model_vars
     single = InferenceEngine(model, variables, max_raw_frames=64)
