@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data import landmarks as lm
-from ..decode.autoregressive import greedy_translate
+from ..decode.autoregressive import greedy_translate, greedy_translate_cached
 from ..preprocess.pipeline import GroupStats, frame_mask, preprocess
 
 
@@ -29,27 +29,38 @@ class TranslationEngine:
         sos: int = 1,
         eos: int = 2,
         pad: int = 0,
+        kv_cache: bool = True,
     ):
+        """``kv_cache=True`` (default) decodes with per-layer self-attention
+        K/V caches and once-computed cross-attention K/V (O(S) decoder work
+        per sequence); ``False`` keeps the full-prefix-recompute oracle."""
         self.variables = variables
         self.max_raw_frames = max_raw_frames
         self.max_out = max_out
         stats = stats or GroupStats.identity()
+        decode_fn = greedy_translate_cached if kv_cache else greedy_translate
 
         def program(variables, raw, length):
             flat = preprocess(raw, length, stats, frame_len)
             mask = frame_mask(flat)[None]
             x = flat.reshape(1, frame_len, lm.N_LANDMARKS, 3)
-            tokens, confidence = greedy_translate(
+            tokens, confidence = decode_fn(
                 model, variables, x, mask, max_len=max_out,
                 sos=sos, eos=eos, pad=pad,
             )
             return tokens[0], confidence[0]
 
+        self._program = program
         shape = jax.ShapeDtypeStruct((max_raw_frames, lm.N_COLS), jnp.float32)
         lshape = jax.ShapeDtypeStruct((), jnp.int32)
         self._compiled = (
             jax.jit(program).lower(variables, shape, lshape).compile()
         )
+
+    def program_fn(self):
+        """The raw (uncompiled) program, for embedding into larger graphs
+        (e.g. the chained-slope bench loop)."""
+        return self._program
 
     def __call__(self, raw_frames: np.ndarray) -> tuple[np.ndarray, float]:
         """raw [T, 276] -> (token ids [max_out], confidence)."""
