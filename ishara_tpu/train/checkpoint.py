@@ -43,21 +43,36 @@ class CheckpointManager:
             "step": state.step,
         }
 
+    @staticmethod
+    def _jsonable(v):
+        if isinstance(v, (bool, int, str)) or v is None:
+            return v
+        return float(v)
+
     def save(self, step: int, state, metrics: dict | None = None,
              wait: bool = False, best: bool = False) -> None:
         """``best=True`` additionally writes to the protected best chain
-        (metric-bearing saves from the Trainer's val-improvement path)."""
+        (metric-bearing saves from the Trainer's val-improvement path).
+        ``metrics`` lands in the meta.json sidecar — the Trainer stores
+        resume bookkeeping there too (``completed_epochs``, ``best_score``),
+        which :meth:`step_meta` hands back on restore."""
         self._mgr.save(step, args=ocp.args.StandardSave(self._payload(state)))
         if best:
             self._best_mgr.save(
                 step, args=ocp.args.StandardSave(self._payload(state)))
         if metrics is not None:
             meta = self.read_meta()
-            meta[str(step)] = {k: float(v) for k, v in metrics.items()}
+            entry = meta.get(str(step), {})
+            entry.update({k: self._jsonable(v) for k, v in metrics.items()})
+            meta[str(step)] = entry
             self._meta_path.write_text(json.dumps(meta, indent=2))
         if wait:
             self._mgr.wait_until_finished()
             self._best_mgr.wait_until_finished()
+
+    def step_meta(self, step: int) -> dict:
+        """The meta.json sidecar entry for ``step`` ({} if none)."""
+        return self.read_meta().get(str(step), {})
 
     def restore(self, state, step: int | None = None, best: bool = False):
         """Restore into the structure of ``state`` (same model/optimizer).

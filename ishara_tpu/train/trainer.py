@@ -167,6 +167,9 @@ class Trainer:
         self.ckpt = CheckpointManager(self.workdir / "ckpt")
         self.best_score = -np.inf
         self.history: list[dict] = []
+        # resume bookkeeping: epochs fully completed so far (train() starts
+        # from here; restored by resume() from checkpoint metadata)
+        self.completed_epochs = 0
 
     # ------------------------------------------------------------------
     def _device_batch(self, batch: dict) -> dict:
@@ -277,7 +280,8 @@ class Trainer:
         import signal
 
         def _on_term(signum, frame):
-            self.ckpt.save(int(self.state.step), self.state, wait=True)
+            self.ckpt.save(int(self.state.step), self.state,
+                           metrics=self._resume_meta(), wait=True)
             raise SystemExit(143)
 
         prev_handler = None
@@ -286,9 +290,14 @@ class Trainer:
         except ValueError:
             pass  # not the main thread
         try:
-            for epoch in range(num_epochs):
+            # resume() restores completed_epochs — already-run epoch data
+            # schedules are NOT replayed (each epoch's shuffle/buckets are a
+            # pure function of (seed, epoch), so the continuation matches an
+            # uninterrupted run; tests/test_resume.py)
+            for epoch in range(self.completed_epochs, num_epochs):
                 t0 = time.time()
                 train_loss = self.train_epoch(epoch, rng)
+                self.completed_epochs = epoch + 1
                 rec = {"epoch": epoch, "train_loss": train_loss,
                        "epoch_time_s": round(time.time() - t0, 1),
                        # exact on-device skip count (cumulative)
@@ -303,23 +312,42 @@ class Trainer:
                         print(f"  pred={p!r} target={t!r}")
                     if val["val_score"] > self.best_score:
                         self.best_score = val["val_score"]
-                        self.ckpt.save(int(self.state.step), self.state,
-                                       metrics={"val_score": val["val_score"]},
-                                       best=True)
+                        self.ckpt.save(
+                            int(self.state.step), self.state,
+                            metrics={"val_score": val["val_score"],
+                                     **self._resume_meta()},
+                            best=True)
                 if (epoch + 1) % tcfg.checkpoint_every_epochs == 0:
-                    self.ckpt.save(int(self.state.step), self.state)
+                    self.ckpt.save(int(self.state.step), self.state,
+                                   metrics=self._resume_meta())
                 self.logger.log(rec, step=int(self.state.step))
                 self.history.append(rec)
         finally:
             # reference parity: a final checkpoint is always written
-            self.ckpt.save(int(self.state.step), self.state, wait=True)
+            self.ckpt.save(int(self.state.step), self.state,
+                           metrics=self._resume_meta(), wait=True)
             if prev_handler is not None:
                 signal.signal(signal.SIGTERM, prev_handler)
         return self.history
 
+    def _resume_meta(self) -> dict:
+        return {"completed_epochs": self.completed_epochs,
+                "best_score": (float(self.best_score)
+                               if np.isfinite(self.best_score) else None)}
+
     def resume(self) -> bool:
-        """Restore the latest checkpoint if one exists."""
-        if self.ckpt.latest_step() is None:
+        """Restore the latest checkpoint if one exists — params/opt-state/
+        step AND the training-loop bookkeeping (completed epoch count, best
+        validation score), so ``train()`` continues where the interrupted
+        run stopped instead of replaying epoch 0 (the reference writes
+        checkpoints but never reads them back, integration.py:906-958)."""
+        step = self.ckpt.latest_step()
+        if step is None:
             return False
         self.state = self.ckpt.restore(self.state)
+        meta = self.ckpt.step_meta(step)
+        if "completed_epochs" in meta:
+            self.completed_epochs = int(meta["completed_epochs"])
+        if meta.get("best_score") is not None:
+            self.best_score = float(meta["best_score"])
         return True
