@@ -9,6 +9,12 @@ graph, but resident on a TPU chip.
 The reference's fallback substitutes the constant phrase "2 a-e -aroe"
 (ids hardcoded from the public static-greedy baseline) whenever the decode
 yields fewer than 3 characters; reproduced here.
+
+Both engines share one per-sequence program builder
+(:func:`make_serving_program`): :class:`InferenceEngine` compiles it at
+batch 1, :class:`BatchedEngine` maps the SAME program over a static batch —
+so every serving option (fused Pallas kernels, int8 weight streaming,
+on-device beam search) is available in both.
 """
 
 from __future__ import annotations
@@ -28,6 +34,82 @@ from ..preprocess.pipeline import GroupStats, preprocess
 FALLBACK_IDS = np.array([17, 0, 32, 12, 36, 0, 12, 32, 49, 46, 36], np.int32)
 
 
+def prepare_serving_variables(variables: dict, fused: bool | str) -> dict:
+    """Host-side variable prep for a serving option: int8 fused mode stores
+    the matmul weights int8 in HBM (quantized once here, dequantized inside
+    the kernels)."""
+    if fused == "int8":
+        from ..ops.fused_block import quantize_serving_weights
+
+        variables = dict(variables)
+        variables["params"] = quantize_serving_weights(variables["params"])
+    return variables
+
+
+def make_serving_program(
+    model: IsharaEncoder,
+    stats: GroupStats,
+    max_out: int,
+    decode: str = "greedy",
+    beam_width: int = 8,
+    beam_top_k: int = 8,
+    fused: bool | str = False,
+):
+    """The per-sequence serving program ``(variables, raw [T,276], length)
+    -> (ids [max_out], count)`` — preprocess, encoder, decode, fallback.
+
+    ``decode``: "greedy" (reference parity) or "beam" (on-device CTC prefix
+    beam search, decode/beam_device.py).
+
+    ``fused=True`` runs the encoder through the whole-block Pallas kernels
+    (ops/fused_block.py — one kernel per block instead of ~40 XLA ops;
+    batch-1 serving is op-count bound, see RESULTS.md). ``fused="int8"``
+    additionally expects :func:`prepare_serving_variables`-quantized weights
+    and dequantizes INSIDE the kernels — quartering the weight stream that
+    dominates the fused path. The round-1 negative result (int8 +
+    in-*program* XLA dequant, much slower because XLA re-materializes the
+    dequantized tree per sequence) does not apply in-kernel; see RESULTS.md.
+    Supported for the squeezeformer/conformer/hybrid families and the
+    conv-interleaved conv_hybrid/conv_transformer families (each
+    conv-stack + attention-block group is one grid-pipelined kernel)."""
+    cfg: EncoderConfig = model.cfg
+    if decode not in ("greedy", "beam"):
+        raise ValueError(f"decode must be 'greedy' or 'beam', got {decode!r}")
+    if fused not in (False, True, "int8"):
+        raise ValueError(f"fused must be False, True or 'int8', got {fused!r}")
+
+    def program(variables, raw, length):
+        x = preprocess(raw, length, stats, cfg.frame_len, thin=True,
+                       dominant_hand=cfg.dominant_hand)
+        if fused:
+            from ..ops.fused_block import fused_encoder_forward
+
+            cdt = "int8" if fused == "int8" else jnp.bfloat16
+            logits = fused_encoder_forward(cfg, variables, x,
+                                           compute_dtype=cdt)
+        else:
+            logits = model.apply(variables, x[None], training=False)[0]
+        if decode == "beam":
+            from ..decode.beam_device import beam_search_device
+
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            ids, count, _ = beam_search_device(
+                lp, beam_width=beam_width, top_k=beam_top_k, max_len=max_out)
+        else:
+            ids, count = greedy_decode(logits, max_len=max_out)
+        # reference fallback: <3 chars -> constant phrase (cropped if a
+        # caller configures max_out below the 11-char fallback)
+        nfb = min(len(FALLBACK_IDS), max_out)
+        fb = jnp.full((max_out,), PAD_TOKEN_IDX, jnp.int32)
+        fb = fb.at[:nfb].set(jnp.asarray(FALLBACK_IDS[:nfb]))
+        use_fb = count < 3
+        ids = jnp.where(use_fb, fb, ids.astype(jnp.int32))
+        count = jnp.where(use_fb, nfb, count)
+        return ids, count
+
+    return program
+
+
 class InferenceEngine:
     """Compiles the full landmarks->ids pipeline to a single executable."""
 
@@ -43,73 +125,21 @@ class InferenceEngine:
         beam_top_k: int = 8,
         fused: bool | str = False,
     ):
-        """``decode``: "greedy" (reference parity) or "beam" (on-device CTC
-        prefix beam search, decode/beam_device.py) — both fuse into the same
-        executable.
-
-        ``fused=True`` runs the encoder through the whole-block Pallas
-        kernels (ops/fused_block.py — one kernel per block instead of ~40
-        XLA ops; batch-1 serving is op-count bound, see RESULTS.md).
-        ``fused="int8"`` additionally stores the matmul weights int8 in HBM
-        (export scheme, quantized once here on the host) and dequantizes
-        INSIDE the kernels — quartering the weight stream that dominates
-        the fused path. The round-1 negative result (int8 + in-*program*
-        XLA dequant, much slower because XLA re-materializes the
-        dequantized tree per sequence) does not apply in-kernel; see
-        RESULTS.md. Supported for the squeezeformer/conformer/hybrid
-        families."""
+        """See :func:`make_serving_program` for the option semantics."""
         self.model = model
         self.stats = stats or GroupStats.identity()
         self.max_raw_frames = max_raw_frames
         self.max_out = max_out
-        cfg: EncoderConfig = model.cfg
-        self.frame_len = cfg.frame_len
-        if decode not in ("greedy", "beam"):
-            raise ValueError(f"decode must be 'greedy' or 'beam', got {decode!r}")
-        if fused not in (False, True, "int8"):
-            raise ValueError(f"fused must be False, True or 'int8', got {fused!r}")
-        if fused == "int8":
-            from ..ops.fused_block import quantize_serving_weights
-
-            variables = dict(variables)
-            variables["params"] = quantize_serving_weights(variables["params"])
-        self.variables = variables
-
-        def program(variables, raw, length):
-            x = preprocess(raw, length, self.stats, self.frame_len, thin=True,
-                           dominant_hand=cfg.dominant_hand)
-            if fused:
-                from ..ops.fused_block import fused_encoder_forward
-
-                cdt = "int8" if fused == "int8" else jnp.bfloat16
-                logits = fused_encoder_forward(cfg, variables, x,
-                                               compute_dtype=cdt)
-            else:
-                logits = self.model.apply(variables, x[None],
-                                          training=False)[0]
-            if decode == "beam":
-                from ..decode.beam_device import beam_search_device
-
-                lp = jax.nn.log_softmax(logits, axis=-1)
-                ids, count, _ = beam_search_device(
-                    lp, beam_width=beam_width, top_k=beam_top_k,
-                    max_len=self.max_out)
-            else:
-                ids, count = greedy_decode(logits, max_len=self.max_out)
-            # reference fallback: <3 chars -> constant phrase
-            fb = jnp.full((self.max_out,), PAD_TOKEN_IDX, jnp.int32)
-            fb = fb.at[: len(FALLBACK_IDS)].set(jnp.asarray(FALLBACK_IDS))
-            use_fb = count < 3
-            ids = jnp.where(use_fb, fb, ids.astype(jnp.int32))
-            count = jnp.where(use_fb, len(FALLBACK_IDS), count)
-            return ids, count
-
-        self._program = program
+        self.frame_len = model.cfg.frame_len
+        self.variables = prepare_serving_variables(variables, fused)
+        self._program = make_serving_program(
+            model, self.stats, max_out, decode=decode,
+            beam_width=beam_width, beam_top_k=beam_top_k, fused=fused)
         shape = jax.ShapeDtypeStruct((max_raw_frames, lm.N_COLS), jnp.float32)
         lshape = jax.ShapeDtypeStruct((), jnp.int32)
         self._compiled = (
-            jax.jit(program)
-            .lower(variables, shape, lshape)
+            jax.jit(self._program)
+            .lower(self.variables, shape, lshape)
             .compile()
         )
 
@@ -135,41 +165,44 @@ class InferenceEngine:
 
 class BatchedEngine:
     """Fixed-batch serving engine for throughput-oriented deployment: the
-    same fused program as :class:`InferenceEngine`, vmapped over a static
-    batch (the reference's TFLite path is strictly batch-1; this is the
-    production-batching extension)."""
+    SAME per-sequence program as :class:`InferenceEngine` (shared builder,
+    all options available), mapped over a static batch (the reference's
+    TFLite path is strictly batch-1; this is the production-batching
+    extension).
+
+    The unfused path vmaps the program (one batched XLA executable); the
+    fused paths ``lax.map`` it (the whole-block Pallas kernels are batch-1
+    grid designs, so they run per-sequence but stay inside one device
+    program with no host round-trips between sequences)."""
 
     def __init__(self, model, variables, batch_size: int = 8,
                  stats: GroupStats | None = None, max_raw_frames: int = 384,
-                 max_out: int = lm.MAX_PHRASE_LENGTH):
+                 max_out: int = lm.MAX_PHRASE_LENGTH,
+                 decode: str = "greedy", beam_width: int = 8,
+                 beam_top_k: int = 8, fused: bool | str = False):
         self.batch_size = batch_size
         self.max_raw_frames = max_raw_frames
         self.max_out = max_out
-        self.variables = variables
         stats = stats or GroupStats.identity()
-        frame_len = model.cfg.frame_len
+        self.variables = prepare_serving_variables(variables, fused)
+        one = make_serving_program(
+            model, stats, max_out, decode=decode,
+            beam_width=beam_width, beam_top_k=beam_top_k, fused=fused)
 
-        def one(variables, raw, length):
-            x = preprocess(raw, length, stats, frame_len, thin=True,
-                           dominant_hand=model.cfg.dominant_hand)
-            logits = model.apply(variables, x[None], training=False)[0]
-            ids, count = greedy_decode(logits, max_len=max_out)
-            # same <3-char constant-phrase fallback as the batch-1 engine
-            fb = jnp.full((max_out,), PAD_TOKEN_IDX, jnp.int32)
-            fb = fb.at[: len(FALLBACK_IDS)].set(jnp.asarray(FALLBACK_IDS))
-            use_fb = count < 3
-            ids = jnp.where(use_fb, fb, ids.astype(jnp.int32))
-            count = jnp.where(use_fb, len(FALLBACK_IDS), count)
-            return ids, count
-
-        def program(variables, raws, lengths):
-            return jax.vmap(lambda r, l: one(variables, r, l))(raws, lengths)
+        if fused:
+            def program(variables, raws, lengths):
+                return jax.lax.map(
+                    lambda rl: one(variables, rl[0], rl[1]), (raws, lengths))
+        else:
+            def program(variables, raws, lengths):
+                return jax.vmap(lambda r, l: one(variables, r, l))(
+                    raws, lengths)
 
         shape = jax.ShapeDtypeStruct(
             (batch_size, max_raw_frames, lm.N_COLS), jnp.float32)
         lshape = jax.ShapeDtypeStruct((batch_size,), jnp.int32)
         self._compiled = (
-            jax.jit(program).lower(variables, shape, lshape).compile()
+            jax.jit(program).lower(self.variables, shape, lshape).compile()
         )
 
     def __call__(self, sequences: list[np.ndarray]):
