@@ -341,6 +341,106 @@ def fused_conformer_block(x, mask, params, batch_stats, *, num_heads: int,
 
 
 # ---------------------------------------------------------------------------
+# Conv1DBlock (reference nb cell 5 Conv1DBlock, credited @hoyso48) and the
+# conv-interleaved families (conv_hybrid / conv_transformer)
+# ---------------------------------------------------------------------------
+
+def _eca_gate(h, maskrow, ecw):
+    """Efficient channel attention gate (models.layers.ECA, eval): masked
+    GAP -> 1-D conv over the CHANNEL axis (SAME, no bias) -> sigmoid.
+    ``ecw`` [1, k] is the conv window."""
+    g = _masked_gap(h, maskrow)  # [1, C]
+    k = ecw.shape[1]
+    C = g.shape[1]
+    gp = jnp.pad(g, ((0, 0), ((k - 1) // 2, k // 2)))
+    out = jnp.zeros_like(g)
+    for i in range(k):
+        out = out + gp[:, i: i + C] * ecw[0, i]
+    return jax.nn.sigmoid(out)
+
+
+def _conv1d_block_body(x, maskrow, ew, eb, dww, bng, bnb, bnm, bnv,
+                       ecw, pw, pb):
+    """MBConv-style block, eval mode (models.blocks.Conv1DBlock): Dense
+    expand (swish) -> causal DW conv -> BN(stats) -> ECA -> Dense project ->
+    skip add (row dropout is an eval no-op; channels always match inside the
+    conv stacks)."""
+    h = _swish(_mm(x, ew) + eb)
+    h = _dwconv(h, dww, causal=True)
+    h = (h - bnm) * jax.lax.rsqrt(bnv + BN_EPS) * bng + bnb
+    h = h * _eca_gate(h, maskrow, ecw)
+    return x + _mm(h, pw) + pb
+
+
+def _conv1d_args(p, stats, dt):
+    row = lambda v: jnp.asarray(v, jnp.float32)[None, :]  # noqa: E731
+    mat = _mat_fn(dt)
+    return (
+        mat(p["expand"]["kernel"]), row(p["expand"]["bias"]),
+        _deq(p["dw"]["dwconv"]["kernel"])[:, 0, :],
+        row(p["bn"]["scale"]), row(p["bn"]["bias"]),
+        row(stats["bn"]["mean"]), row(stats["bn"]["var"]),
+        _deq(p["eca"]["conv"]["kernel"])[:, 0, 0][None, :],
+        mat(p["project"]["kernel"]), row(p["project"]["bias"]),
+    )
+
+
+def _transformer_body(num_heads, dim, x, maskrow,
+                      l1g, l1b, qkvw, projw, l2g, l2b, f1w, f2w):
+    """Pre-LN MHSA + pre-LN biasless swish FFN (models.blocks.
+    TransformerBlock, eval — row dropouts are no-ops)."""
+    x = x + _mhsa(_ln(x, l1g, l1b, LN_EPS), maskrow,
+                  qkvw, projw, num_heads, dim)
+    h = _ln(x, l2g, l2b, LN_EPS)
+    return x + _mm(_swish(_mm(h, f1w)), f2w)
+
+
+def _transformer_args(p, dt):
+    row = lambda v: jnp.asarray(v, jnp.float32)[None, :]  # noqa: E731
+    mat = _mat_fn(dt)
+    return (
+        row(p["ln1"]["scale"]), row(p["ln1"]["bias"]),
+        mat(p["mha"]["qkv"]["kernel"]), mat(p["mha"]["proj"]["kernel"]),
+        row(p["ln2"]["scale"]), row(p["ln2"]["bias"]),
+        mat(p["fc1"]["kernel"]), mat(p["fc2"]["kernel"]),
+    )
+
+
+def _make_group_body(inner_body):
+    """Grid-step body for the conv families: N Conv1DBlocks then one
+    attention block, all inside the same kernel invocation. Per-step args
+    are the nested tuple (conv_args_tuple, inner_args_tuple) — the stack
+    machinery flattens/unflattens it transparently."""
+
+    def group_body(num_heads, dim, x, maskrow, conv_args, inner_args):
+        for ca in conv_args:
+            x = _conv1d_block_body(x, maskrow, *ca)
+        return inner_body(num_heads, dim, x, maskrow, *inner_args)
+
+    return group_body
+
+
+_GROUP_BODIES = {
+    "squeezeformer": _make_group_body(_squeeze_body),
+    "conformer": _make_group_body(_conformer_body),
+    "transformer": _make_group_body(_transformer_body),
+}
+
+
+def fused_conv_group_stack(x, mask, groups, inner: str, *, num_heads: int,
+                           interpret: bool | None = None):
+    """Run N (conv-stack -> attention-block) groups as ONE grid-pipelined
+    kernel. ``groups`` is a list of (conv_args_tuple, inner_args) built by
+    the caller; ``inner`` selects the attention-block body. All groups must
+    share kernel sizes/shape structure (they do: cfg.kernel_sizes is one
+    tuple for the whole encoder)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _stack_call(_GROUP_BODIES[inner], x, mask, groups, num_heads,
+                       interpret)
+
+
+# ---------------------------------------------------------------------------
 # Grid-pipelined block stacks: one kernel for N same-type blocks
 # ---------------------------------------------------------------------------
 #
@@ -452,9 +552,10 @@ def fused_encoder_forward(cfg, variables, x, *, interpret: bool | None = None,
     from ..models.layers import BN_EPS as STEM_BN_EPS, positional_encoding
     from ..preprocess.pipeline import frame_mask
 
-    if cfg.variant not in ("squeezeformer", "conformer", "hybrid"):
-        raise ValueError(f"fused path covers the attention-block families, "
-                         f"not {cfg.variant!r}")
+    if cfg.variant not in ("squeezeformer", "conformer", "hybrid",
+                           "conv_hybrid", "conv_transformer"):
+        raise ValueError(f"fused path covers the attention and conv-"
+                         f"interleaved families, not {cfg.variant!r}")
     if getattr(cfg, "causal", False):
         # the kernels implement the bidirectional eval semantics; silently
         # serving a causal-trained model through them would apply full
@@ -500,6 +601,38 @@ def fused_encoder_forward(cfg, variables, x, *, interpret: bool | None = None,
              for i in range(cfg.num_conform_blocks)],
             num_heads=cfg.num_heads, interpret=interpret,
             compute_dtype=compute_dtype)
+
+    def conv_args(tag):
+        return tuple(
+            _conv1d_args(params[f"conv_{tag}_{j}"], stats[f"conv_{tag}_{j}"],
+                         compute_dtype)
+            for j in range(cfg.num_conv_per_block))
+
+    if cfg.variant == "conv_hybrid":
+        # (conv-stack -> Squeezeformer) x N then (conv-stack -> Conformer)
+        # x M, each segment one grid-pipelined kernel (encoder.py layout)
+        if cfg.num_squeeze_blocks:
+            h = fused_conv_group_stack(
+                h, mask,
+                [(conv_args(f"squeeze{i}"),
+                  _squeeze_args(params[f"squeezeformer_{i}"], compute_dtype))
+                 for i in range(cfg.num_squeeze_blocks)],
+                "squeezeformer", num_heads=cfg.num_heads, interpret=interpret)
+        if cfg.num_conform_blocks:
+            h = fused_conv_group_stack(
+                h, mask,
+                [(conv_args(f"conform{i}"),
+                  _conformer_args(params[f"conformer_{i}"],
+                                  stats[f"conformer_{i}"], compute_dtype))
+                 for i in range(cfg.num_conform_blocks)],
+                "conformer", num_heads=cfg.num_heads, interpret=interpret)
+    if cfg.variant == "conv_transformer":
+        h = fused_conv_group_stack(
+            h, mask,
+            [(conv_args(f"t{i}"),
+              _transformer_args(params[f"transformer_{i}"], compute_dtype))
+             for i in range(cfg.num_squeeze_blocks)],
+            "transformer", num_heads=cfg.num_heads, interpret=interpret)
 
     h = _mm(h, wload(params["top_conv"]["kernel"])) \
         + params["top_conv"]["bias"]

@@ -61,11 +61,13 @@ def test_fused_conformer_block_parity(rng):
                                rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("variant", ["squeezeformer", "hybrid", "conformer"])
+@pytest.mark.parametrize("variant", ["squeezeformer", "hybrid", "conformer",
+                                     "conv_hybrid", "conv_transformer"])
 def test_fused_encoder_forward_parity(rng, variant):
     cfg = EncoderConfig(variant=variant, dim=64, num_squeeze_blocks=2,
                         num_conform_blocks=2, num_heads=4, frame_len=24,
                         transformer_kernel_size=7, dropout=0.0,
+                        kernel_sizes=(7, 3), num_conv_per_block=2,
                         top_dropout=0.0, top_mult=1)
     model = build_model(cfg)
     x = rng.standard_normal((24, cfg.input_dim)).astype(np.float32)
@@ -123,10 +125,36 @@ def test_int8_mode_requires_quantized_params(rng):
                               compute_dtype="int8")
 
 
-def test_fused_encoder_rejects_conv_variants(rng):
-    cfg = EncoderConfig(variant="conv_hybrid", dim=32, frame_len=16)
+def test_fused_encoder_rejects_unsupported_variant(rng):
+    cfg = EncoderConfig(variant="squeezeformer_unet", dim=32, frame_len=16)
     with pytest.raises(ValueError):
         fused_encoder_forward(cfg, {"params": {}}, jnp.zeros((16, 276)))
+
+
+def test_fused_conv_hybrid_int8_parity(rng):
+    """The conv-family kernels consume the int8 export scheme too (expand/
+    project stream int8, dw/ECA dequantize on load)."""
+    from ishara_tpu.ops.fused_block import quantize_serving_weights
+    from ishara_tpu.serve.export import _dequantize_tree
+
+    cfg = EncoderConfig(variant="conv_hybrid", dim=64, num_squeeze_blocks=1,
+                        num_conform_blocks=1, num_heads=4, frame_len=24,
+                        transformer_kernel_size=7, dropout=0.0,
+                        kernel_sizes=(7, 3), num_conv_per_block=2,
+                        top_dropout=0.0, top_mult=1)
+    model = build_model(cfg)
+    x = rng.standard_normal((24, cfg.input_dim)).astype(np.float32)
+    x[18:] = 0.0
+    variables = model.init(jax.random.key(0), jnp.asarray(x)[None])
+    qvars = {"params": quantize_serving_weights(variables["params"]),
+             "batch_stats": variables.get("batch_stats", {})}
+    deq = {"params": _dequantize_tree(qvars["params"]),
+           "batch_stats": qvars["batch_stats"]}
+    want = model.apply(deq, jnp.asarray(x)[None], training=False)[0]
+    got = fused_encoder_forward(cfg, qvars, jnp.asarray(x), interpret=True,
+                                compute_dtype="int8")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.05, atol=0.05)
 
 
 @pytest.mark.parametrize("n", [1, 3])
