@@ -83,30 +83,53 @@ def predict_from_image(engine, tokenizer, image_path: str) -> str:
 
 
 def run_webcam(engine, tokenizer, window_frames: int = 64,
-               camera_index: int = 0, draw: bool = True) -> None:
-    """Live webcam loop (real_time_tracking.py / inference_v2.py): sliding
-    window of landmark frames -> engine -> overlay text."""
-    cv2 = _require("cv2")
-    mp = _require("mediapipe")
+               camera_index: int = 0, draw: bool = True,
+               capture=None, extractor=None) -> list[str]:
+    """Live webcam loop (real_time_tracking.py:57-92 / inference_v2.py):
+    sliding window of landmark frames -> engine -> overlay text. Returns the
+    emitted predictions (one per full window).
 
-    holistic = mp.solutions.holistic.Holistic()
-    cap = cv2.VideoCapture(camera_index)
+    ``capture`` and ``extractor`` are injectable so the loop runs without a
+    camera (CI drives it with a fake frame source, tests/test_clients.py):
+
+    * ``capture``: ``.read() -> (ok, img)`` / ``.release()`` (default:
+      ``cv2.VideoCapture(camera_index)``);
+    * ``extractor``: ``img -> results`` where results is either a MediaPipe
+      Holistic result (converted via :func:`mediapipe_to_frame`) or already
+      a raw [276] landmark frame (default: MediaPipe Holistic over the
+      BGR->RGB converted image).
+    """
+    cv2 = mp = None
+    if capture is None or extractor is None or draw:
+        cv2 = _require("cv2")
+    if extractor is None:
+        mp = _require("mediapipe")
+        holistic = mp.solutions.holistic.Holistic()
+
+        def extractor(img):
+            return holistic.process(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+
+    cap = capture if capture is not None else cv2.VideoCapture(camera_index)
     buf: list[np.ndarray] = []
+    texts: list[str] = []
     text = ""
     try:
         while True:
             ok, img = cap.read()
             if not ok:
                 break
-            results = holistic.process(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
-            buf.append(mediapipe_to_frame(results))
+            results = extractor(img)
+            frame = (results if isinstance(results, np.ndarray)
+                     else mediapipe_to_frame(results))
+            buf.append(frame)
             if len(buf) > window_frames:
                 buf.pop(0)
             if len(buf) == window_frames:
                 seq = nan_filter_left_hand_flip(np.stack(buf))
                 text = engine.predict_text(seq, tokenizer)
+                texts.append(text)
             if draw:
-                if results.right_hand_landmarks:
+                if getattr(results, "right_hand_landmarks", None):
                     mp.solutions.drawing_utils.draw_landmarks(
                         img, results.right_hand_landmarks)
                 cv2.putText(img, text, (10, 40),
@@ -115,6 +138,8 @@ def run_webcam(engine, tokenizer, window_frames: int = 64,
                 if cv2.waitKey(1) & 0xFF == ord("q"):
                     break
     finally:
-        cap.release()
+        if hasattr(cap, "release"):
+            cap.release()
         if draw:
             cv2.destroyAllWindows()
+    return texts
