@@ -7,6 +7,15 @@ serving path fused into one XLA executable: raw landmarks -> thinning ->
 normalization/resample -> hybrid 4+4 encoder (dim=256, the 0.728-family
 architecture) -> greedy CTC collapse -> fallback.
 
+Also measured and recorded in the JSON line (so regressions in any one path
+or in *utilization* are visible, not just the winning latency):
+  * per-path CTC serving latencies (f32 XLA / bf16 fused kernels / int8
+    fused kernels) + which path won;
+  * conv_hybrid family (the reference's README-API family) XLA-path latency;
+  * translation family (encoder-decoder, KV-cached greedy decode) latency;
+  * train-step throughput with implied TFLOPS and MFU (flops from XLA cost
+    analysis of the compiled programs; peak = 197 bf16 TFLOPS on v5e).
+
 Measurement methodology (hard-won; see RESULTS.md "measurement pitfalls"):
 this harness reaches its chip through a network tunnel where
 ``block_until_ready`` returns BEFORE device execution finishes, so every
@@ -16,7 +25,7 @@ which cancels the ~30 ms tunnel round trip. Repetitions are chained through
 the carry so XLA cannot hoist loop-invariant work.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": ms, "unit": "ms", "vs_baseline": speedup}
+  {"metric": ..., "value": ms, "unit": "ms", "vs_baseline": speedup, ...}
 """
 
 import json
@@ -26,6 +35,7 @@ import time
 import numpy as np
 
 BASELINE_MS = 200.0
+PEAK_TFLOPS_BF16 = 197.0  # v5e MXU peak, bf16
 
 
 def log(*a):
@@ -40,6 +50,68 @@ def med_time(fn, n=5):
         fn()
         ts.append(time.perf_counter() - t)
     return float(np.median(ts))
+
+
+def stage_flops(stage) -> float | None:
+    """Total-program flops from XLA cost analysis of a Lowered/Compiled
+    stage (None if unavailable — e.g. the axon plugin's compiled
+    executables; the *lowered* analysis is client-side and always works)."""
+    try:
+        ca = stage.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def slope_measure(program, variables, db, dl, lo=16, hi=784, reps=7,
+                  extract=None):
+    """Per-sequence (ms, flops) of ``program(variables, raw, length)`` via
+    the chained-carry slope between two in-program repetition counts."""
+    import jax
+    import jax.numpy as jnp
+
+    N = db.shape[0]
+    extract = extract or (lambda out: out[1])
+
+    def make(K):
+        def body(carry, i):
+            raw = db[i % N] + carry * 1e-12
+            out = program(variables, raw, dl[i % N])
+            return (carry + extract(out)).astype(jnp.float32), None
+
+        lowered = jax.jit(
+            lambda: jax.lax.scan(body, jnp.float32(0), jnp.arange(K))[0]
+        ).lower()
+        return lowered.compile(), stage_flops(lowered)
+
+    (c_lo, f_lo), (c_hi, f_hi) = make(lo), make(hi)
+    t_lo = med_time(lambda: float(c_lo()), reps)
+    t_hi = med_time(lambda: float(c_hi()), reps)
+    ms = (t_hi - t_lo) / (hi - lo) * 1e3
+    flops = (f_hi - f_lo) / (hi - lo) if f_lo and f_hi else None
+    return ms, flops, c_hi
+
+
+def implied_tflops(flops, ms) -> float | None:
+    if not flops or not ms or ms <= 0:
+        return None
+    return flops / (ms * 1e-3) / 1e12
+
+
+def render_sequences(max_raw_frames, N=64, seed=7):
+    from ishara_tpu.data.synthetic import SyntheticASLFR
+
+    ds = SyntheticASLFR(num_sequences=N, seed=seed)
+    bufs = np.zeros((N, max_raw_frames, 276), np.float32)
+    lens = np.zeros((N,), np.int32)
+    for i in range(N):
+        s = ds.render(i)[0]
+        n = min(len(s), max_raw_frames)
+        bufs[i, :n] = s[:n]
+        lens[i] = n
+    return bufs, lens
 
 
 def main():
@@ -59,152 +131,152 @@ def main():
         log(f"profiling -> {profile_dir} (view in tensorboard/perfetto)")
 
     from ishara_tpu.config import baseline_config
-    from ishara_tpu.data.synthetic import SyntheticASLFR
     from ishara_tpu.models import IsharaEncoder
     from ishara_tpu.serve import InferenceEngine
 
-    # --- training throughput (secondary, stderr): the SHIPPED fused step
-    # (augment + preprocess + fwd/bwd/update in one program), bf16 vs f32 ---
-    train_tp = {}
+    extra: dict = {}
+
+    # --- training throughput: the SHIPPED fused step (augment + preprocess
+    # + fwd/bwd/update in one program), bf16 vs f32, with implied MFU ---
+    train = {}
     for dtype in ("bfloat16", "float32"):
         try:
-            tp, ms = measure_train_throughput(dtype=dtype)
-            train_tp[dtype] = tp
-            log(f"train throughput[{dtype}]: {tp:.0f} seqs/sec/chip at "
-                f"batch 256 ({ms:.1f} ms/step, fused step; reference GPU: "
-                f"83-99 seqs/sec)")
+            tp, ms, flops = measure_train_throughput(dtype=dtype)
+            tput = implied_tflops(flops, ms)
+            mfu = (tput / PEAK_TFLOPS_BF16) if tput else None
+            train[dtype] = {
+                "seqs_per_sec": round(tp),
+                "ms_per_step": round(ms, 1),
+                "tflops": round(tput, 1) if tput else None,
+                "mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
+            }
+            log(f"train[{dtype}]: {tp:.0f} seqs/sec/chip at batch 256 "
+                f"({ms:.1f} ms/step, fused step; "
+                f"{tput and f'{tput:.1f} TFLOPS, {100 * mfu:.1f}% of bf16 peak' or 'flops n/a'}; "
+                f"reference GPU: 83-99 seqs/sec)")
         except Exception as e:  # pragma: no cover
             log(f"train throughput[{dtype}] failed:", repr(e))
+    extra["train"] = train
 
-    # --- headline: on-chip batch-1 serving latency ---
+    # --- headline: on-chip batch-1 serving latency, all three CTC paths ---
     cfg = baseline_config(5).model
     model = IsharaEncoder(cfg)
     x0 = np.zeros((1, cfg.frame_len, cfg.input_dim), np.float32)
     variables = model.init(jax.random.key(0), x0)
-    t0 = time.perf_counter()
-    engine = InferenceEngine(model, variables, max_raw_frames=384)
-    log(f"compile(single): {time.perf_counter() - t0:.1f}s")
-    single = engine.program_fn()
-
-    N = 64
-    ds = SyntheticASLFR(num_sequences=N, seed=7)
-    bufs = np.zeros((N, engine.max_raw_frames, 276), np.float32)
-    lens = np.zeros((N,), np.int32)
-    for i in range(N):
-        s = ds.render(i)[0]
-        n = min(len(s), engine.max_raw_frames)
-        bufs[i, :n] = s[:n]
-        lens[i] = n
+    bufs, lens = render_sequences(384)
     db, dl = jnp.asarray(bufs), jnp.asarray(lens)
 
-    def serving_loop(K):
-        # chain the carry into the input so the K runs cannot be hoisted/CSEd
-        def body(carry, i):
-            raw = db[i % N] + carry * 1e-12
-            _, cnt = single(engine.variables, raw, dl[i % N])
-            return (carry + cnt).astype(jnp.float32), None
+    # wide lo->hi spread: slope noise ~ RT-jitter/(hi-lo); at 272 the
+    # per-seq jitter measured ~+-10 us, 768 chained runs cut it to ~+-3 us
+    lo, hi = 16, 784
+    paths = {"xla_f32": False, "fused_bf16": True, "fused_int8": "int8"}
+    serving: dict = {}
+    best_path, best_ms = None, np.inf
+    first_engine = None
+    for name, fused in paths.items():
+        try:
+            t0 = time.perf_counter()
+            eng = InferenceEngine(model, variables, max_raw_frames=384,
+                                  fused=fused)
+            log(f"compile({name}): {time.perf_counter() - t0:.1f}s")
+            if first_engine is None:
+                first_engine = eng
+            ms, flops, c_hi = slope_measure(
+                eng.program_fn(), eng.variables, db, dl, lo, hi)
+            if profile_dir and name == "fused_bf16":
+                from ishara_tpu.utils.profiling import trace
 
-        compiled = jax.jit(
-            lambda: jax.lax.scan(body, jnp.float32(0), jnp.arange(K))[0]
-        ).lower().compile()
-        return lambda: float(compiled())
+                with trace(profile_dir):
+                    float(c_hi())
+            tput = implied_tflops(flops, ms)
+            serving[name] = {"ms": round(ms, 4),
+                             "tflops": round(tput, 2) if tput else None}
+            log(f"on-chip batch-1 per-seq [{name}]: {ms:.3f} ms"
+                + (f" ({tput:.2f} implied TFLOPS)" if tput else ""))
+            if ms < best_ms:
+                best_path, best_ms = name, ms
+        except Exception as e:  # pragma: no cover
+            log(f"serving path {name} failed:", repr(e))
+    extra["serving_paths"] = serving
+    extra["winning_path"] = best_path
+    per_seq_ms = best_ms
 
-    lo, hi = 16, 784  # wide spread: slope noise ~ RT-jitter/(hi-lo)
-    # (at 272 the per-seq jitter measured ~+-10 us; 768 chained runs cut it
-    # to ~+-3 us while the hi-program still finishes in well under 100 ms)
-    f_lo, f_hi = serving_loop(lo), serving_loop(hi)
-    if profile_dir:
-        from ishara_tpu.utils.profiling import trace
+    # --- conv_hybrid family (the reference's README-API family,
+    # conv-hybrid-model.ipynb / README.md:73-80): XLA path and the fused
+    # conv-group kernels ---
+    import dataclasses
 
-        with trace(profile_dir):
-            f_hi()
-    t_lo, t_hi = med_time(f_lo, n=7), med_time(f_hi, n=7)
-    per_seq_ms = (t_hi - t_lo) / (hi - lo) * 1e3
-    log(f"on-chip batch-1 per-seq: {per_seq_ms:.3f} ms "
-        f"(slope of {lo}->{hi} chained runs; lo={t_lo*1e3:.0f} ms "
-        f"hi={t_hi*1e3:.0f} ms)")
+    ccfg = dataclasses.replace(baseline_config(3).model, dtype="float32")
+    cmodel = IsharaEncoder(ccfg)
+    cx0 = np.zeros((1, ccfg.frame_len, ccfg.input_dim), np.float32)
+    cvars = cmodel.init(jax.random.key(1), cx0)
+    for name, fused in (("xla_f32", False), ("fused_bf16", True)):
+        try:
+            t0 = time.perf_counter()
+            ceng = InferenceEngine(cmodel, cvars, max_raw_frames=384,
+                                   fused=fused)
+            log(f"compile(conv_hybrid {name}): "
+                f"{time.perf_counter() - t0:.1f}s")
+            cms, _, _ = slope_measure(
+                ceng.program_fn(), ceng.variables, db, dl, lo, hi)
+            extra[f"conv_hybrid_{name}_ms"] = round(cms, 4)
+            log(f"on-chip batch-1 per-seq [conv_hybrid 2+2 {name}]: "
+                f"{cms:.3f} ms")
+        except Exception as e:  # pragma: no cover
+            log(f"conv_hybrid {name} serving failed:", repr(e))
 
-    # --- fused whole-block-kernel serving path (ops/fused_block.py) ---
+    # --- translation family (encoder-decoder, KV-cached greedy decode) ---
     try:
+        from ishara_tpu.models.seq2seq import ASLTranslationModel
+        from ishara_tpu.serve.translation_engine import TranslationEngine
+
+        tmodel = ASLTranslationModel(
+            num_classes=62, feature_dim=208, num_layers=2,
+            num_decoder_layers=2, num_heads=8, dropout=0.1)
+        T = 176
+        tx0 = jnp.zeros((1, T, 92, 3), jnp.float32)
+        tm0 = jnp.ones((1, T), bool)
+        tvars = tmodel.init(jax.random.key(2), tx0, tm0,
+                            jnp.zeros((1, 4), jnp.int32))
         t0 = time.perf_counter()
-        engine_f = InferenceEngine(model, variables, max_raw_frames=384,
-                                   fused=True)
-        log(f"compile(fused): {time.perf_counter() - t0:.1f}s")
-        single_f = engine_f.program_fn()
-
-        def fused_loop(K):
-            def body(carry, i):
-                raw = db[i % N] + carry * 1e-12
-                _, cnt = single_f(engine_f.variables, raw, dl[i % N])
-                return (carry + cnt).astype(jnp.float32), None
-
-            compiled = jax.jit(
-                lambda: jax.lax.scan(body, jnp.float32(0), jnp.arange(K))[0]
-            ).lower().compile()
-            return lambda: float(compiled())
-
-        g_lo, g_hi = fused_loop(lo), fused_loop(hi)
-        t_lo2, t_hi2 = med_time(g_lo, n=7), med_time(g_hi, n=7)
-        fused_ms = (t_hi2 - t_lo2) / (hi - lo) * 1e3
-        log(f"on-chip batch-1 per-seq [fused kernels]: {fused_ms:.3f} ms")
-        if fused_ms < per_seq_ms:
-            per_seq_ms = fused_ms
+        teng = TranslationEngine(tmodel, tvars, frame_len=T,
+                                 max_raw_frames=384, kv_cache=True)
+        log(f"compile(translation kv): {time.perf_counter() - t0:.1f}s")
+        tms, tflops_, _ = slope_measure(
+            teng.program_fn(), teng.variables, db, dl, lo=8, hi=72, reps=5,
+            extract=lambda out: jnp.sum(out[0]).astype(jnp.float32) + out[1])
+        extra["translation_kv_ms"] = round(tms, 4)
+        log(f"on-chip batch-1 per-seq [translation kv-cached, 64-step "
+            f"greedy]: {tms:.3f} ms")
     except Exception as e:  # pragma: no cover
-        log("fused serving path failed:", repr(e))
-
-    # --- int8-weight fused path: quarter-width HBM weight stream with
-    # in-kernel dequant; numerics == the int8 export bundle's (measured
-    # lossless on the serving harness, RESULTS.md QAT section) ---
-    try:
-        t0 = time.perf_counter()
-        engine_q = InferenceEngine(model, variables, max_raw_frames=384,
-                                   fused="int8")
-        log(f"compile(int8 fused): {time.perf_counter() - t0:.1f}s")
-        single_q = engine_q.program_fn()
-
-        def int8_loop(K):
-            def body(carry, i):
-                raw = db[i % N] + carry * 1e-12
-                _, cnt = single_q(engine_q.variables, raw, dl[i % N])
-                return (carry + cnt).astype(jnp.float32), None
-
-            compiled = jax.jit(
-                lambda: jax.lax.scan(body, jnp.float32(0), jnp.arange(K))[0]
-            ).lower().compile()
-            return lambda: float(compiled())
-
-        q_lo, q_hi = int8_loop(lo), int8_loop(hi)
-        t_lo3, t_hi3 = med_time(q_lo, n=7), med_time(q_hi, n=7)
-        int8_ms = (t_hi3 - t_lo3) / (hi - lo) * 1e3
-        log(f"on-chip batch-1 per-seq [int8 fused kernels]: {int8_ms:.3f} ms")
-        if int8_ms < per_seq_ms:
-            per_seq_ms = int8_ms
-    except Exception as e:  # pragma: no cover
-        log("int8 fused serving path failed:", repr(e))
+        log("translation serving failed:", repr(e))
 
     # --- secondary: host->host including the tunnel ---
-    for s in range(4):
-        engine(bufs[s])
-    lat = []
-    for i in range(16):
-        t = time.perf_counter()
-        engine(bufs[i % N])
-        lat.append((time.perf_counter() - t) * 1e3)
-    log(f"host->host (tunnel) ms: p50={np.percentile(lat, 50):.1f}")
+    if first_engine is not None:
+        for s in range(4):
+            first_engine(bufs[s])
+        lat = []
+        for i in range(16):
+            t = time.perf_counter()
+            first_engine(bufs[i % 64])
+            lat.append((time.perf_counter() - t) * 1e3)
+        log(f"host->host (tunnel) ms: p50={np.percentile(lat, 50):.1f}")
 
     print(json.dumps({
         "metric": "batch1_decode_latency_ms_p50",
         "value": round(per_seq_ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / per_seq_ms, 2),
+        **extra,
     }), flush=True)
 
 
 def measure_train_throughput(batch_size=256, lo=2, hi=10, dtype="bfloat16"):
-    """Per-step device time of the SHIPPED Trainer step —
+    """Per-step (seqs/sec, ms, flops) of the SHIPPED Trainer step —
     make_fused_ctc_train_step on a raw batch (augment + preprocess fused in,
     train/state.py:117) — via in-program lax.scan over steps (the state carry
-    prevents hoisting), slope between two repetition counts."""
+    prevents hoisting), slope between two repetition counts. Flops likewise
+    from the cost-analysis slope of the two compiled loop programs."""
     import dataclasses
 
     import jax
@@ -240,14 +312,17 @@ def measure_train_throughput(batch_size=256, lo=2, hi=10, dtype="bfloat16"):
             s2, m = step(s, jb, rng)
             return s2, m["loss"]
 
-        compiled = jax.jit(
+        lowered = jax.jit(
             lambda s: jnp.sum(jax.lax.scan(body, s, None, length=K)[1])
-        ).lower(state0).compile()
-        return lambda: float(compiled(state0))
+        ).lower(state0)
+        return lowered.compile(), stage_flops(lowered)
 
-    t_lo, t_hi = med_time(loop(lo), 3), med_time(loop(hi), 3)
+    (c_lo, f_lo), (c_hi, f_hi) = loop(lo), loop(hi)
+    t_lo = med_time(lambda: float(c_lo(state0)), 3)
+    t_hi = med_time(lambda: float(c_hi(state0)), 3)
     per_step = (t_hi - t_lo) / (hi - lo)
-    return batch_size / per_step, per_step * 1e3
+    flops = (f_hi - f_lo) / (hi - lo) if f_lo and f_hi else None
+    return batch_size / per_step, per_step * 1e3, flops
 
 
 if __name__ == "__main__":
