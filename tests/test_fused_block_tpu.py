@@ -71,3 +71,27 @@ def test_flagship_int8_fused_forward_on_chip(rng):
     assert maxdiff < 0.05 * scale, (maxdiff, scale)
     agree = (ref[:150].argmax(-1) == got[:150].argmax(-1)).mean()
     assert agree > 0.98, agree
+
+
+def test_conv_hybrid_fused_forward_on_chip(rng):
+    """The conv-group kernels (Conv1DBlock stack + attention block per grid
+    step) lower through Mosaic and match the XLA forward on hardware."""
+    import dataclasses
+
+    cfg = dataclasses.replace(baseline_config(3).model, dtype="float32",
+                              dropout=0.0, top_dropout=0.0)
+    model = IsharaEncoder(cfg)
+    x = rng.standard_normal((cfg.frame_len, cfg.input_dim)).astype(np.float32)
+    x[150:] = 0.0
+    variables = model.init(jax.random.key(0), jnp.asarray(x)[None])
+    ref = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x[None], training=False)[0]
+    )(variables, jnp.asarray(x)))
+    got = np.asarray(jax.jit(
+        lambda v, x: fused_encoder_forward(cfg, v, x, interpret=False)
+    )(variables, jnp.asarray(x)))
+    scale = np.abs(ref).max()
+    maxdiff = np.abs(ref - got).max()
+    assert maxdiff < 0.05 * scale, (maxdiff, scale)
+    agree = (ref[:150].argmax(-1) == got[:150].argmax(-1)).mean()
+    assert agree > 0.98, agree
