@@ -13,8 +13,9 @@ or in *utilization* are visible, not just the winning latency):
     fused kernels) + which path won;
   * conv_hybrid family (the reference's README-API family) XLA-path latency;
   * translation family (encoder-decoder, KV-cached greedy decode) latency;
-  * train-step throughput with implied TFLOPS and MFU (flops from XLA cost
-    analysis of the compiled programs; peak = 197 bf16 TFLOPS on v5e).
+  * train-step throughput with implied TFLOPS and MFU (analytic
+    matmul/attention flops from the param tree — XLA cost analysis counts
+    scan bodies once, not x trip-count; peak = 197 bf16 TFLOPS on v5e).
 
 Measurement methodology (hard-won; see RESULTS.md "measurement pitfalls"):
 this harness reaches its chip through a network tunnel where
@@ -52,17 +53,34 @@ def med_time(fn, n=5):
     return float(np.median(ts))
 
 
-def stage_flops(stage) -> float | None:
-    """Total-program flops from XLA cost analysis of a Lowered/Compiled
-    stage (None if unavailable — e.g. the axon plugin's compiled
-    executables; the *lowered* analysis is client-side and always works)."""
-    try:
-        ca = stage.cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0)) or None
-    except Exception:
-        return None
+def analytic_forward_flops(params, T: int) -> float:
+    """Matmul/attention FLOPs of one forward pass at sequence length ``T``,
+    walked from the actual param tree (generic across variants; int8
+    {"q","scale"} leaves count via their /q path). XLA's cost analysis is
+    useless here: it counts a while/scan body ONCE, not x trip-count, so
+    the lo->hi repetition slope cancels to ~0. Elementwise/norm work is
+    excluded — this is the MXU-roofline numerator, so implied MFU is
+    slightly conservative."""
+    import jax
+
+    total = 0.0
+    attn_dims = []
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        shp = getattr(leaf, "shape", None)
+        if shp is None or "kernel" not in name:
+            continue
+        if leaf.ndim == 2:
+            total += 2 * T * shp[0] * shp[1]
+            if name.endswith("qkv/kernel") or name.endswith("qkv/kernel/q"):
+                attn_dims.append(shp[1] // 3)
+        elif leaf.ndim == 3:
+            k, i, o = shp
+            total += 2 * T * k * i * o  # (depthwise: i==1)
+    for D in attn_dims:
+        # score + value contractions: 2 x [T,Dh]@[Dh,T] per head = 4*T^2*D
+        total += 4 * T * T * D
+    return total
 
 
 def slope_measure(program, variables, db, dl, lo=16, hi=784, reps=7,
@@ -81,17 +99,15 @@ def slope_measure(program, variables, db, dl, lo=16, hi=784, reps=7,
             out = program(variables, raw, dl[i % N])
             return (carry + extract(out)).astype(jnp.float32), None
 
-        lowered = jax.jit(
+        return jax.jit(
             lambda: jax.lax.scan(body, jnp.float32(0), jnp.arange(K))[0]
-        ).lower()
-        return lowered.compile(), stage_flops(lowered)
+        ).lower().compile()
 
-    (c_lo, f_lo), (c_hi, f_hi) = make(lo), make(hi)
+    c_lo, c_hi = make(lo), make(hi)
     t_lo = med_time(lambda: float(c_lo()), reps)
     t_hi = med_time(lambda: float(c_hi()), reps)
     ms = (t_hi - t_lo) / (hi - lo) * 1e3
-    flops = (f_hi - f_lo) / (hi - lo) if f_lo and f_hi else None
-    return ms, flops, c_hi
+    return ms, c_hi
 
 
 def implied_tflops(flops, ms) -> float | None:
@@ -181,8 +197,10 @@ def main():
             log(f"compile({name}): {time.perf_counter() - t0:.1f}s")
             if first_engine is None:
                 first_engine = eng
-            ms, flops, c_hi = slope_measure(
+            ms, c_hi = slope_measure(
                 eng.program_fn(), eng.variables, db, dl, lo, hi)
+            flops = analytic_forward_flops(variables["params"],
+                                           cfg.frame_len)
             if profile_dir and name == "fused_bf16":
                 from ishara_tpu.utils.profiling import trace
 
@@ -242,7 +260,7 @@ def main():
         teng = TranslationEngine(tmodel, tvars, frame_len=T,
                                  max_raw_frames=384, kv_cache=True)
         log(f"compile(translation kv): {time.perf_counter() - t0:.1f}s")
-        tms, tflops_, _ = slope_measure(
+        tms, _ = slope_measure(
             teng.program_fn(), teng.variables, db, dl, lo=8, hi=72, reps=5,
             extract=lambda out: jnp.sum(out[0]).astype(jnp.float32) + out[1])
         extra["translation_kv_ms"] = round(tms, 4)
@@ -275,8 +293,8 @@ def measure_train_throughput(batch_size=256, lo=2, hi=10, dtype="bfloat16"):
     """Per-step (seqs/sec, ms, flops) of the SHIPPED Trainer step —
     make_fused_ctc_train_step on a raw batch (augment + preprocess fused in,
     train/state.py:117) — via in-program lax.scan over steps (the state carry
-    prevents hoisting), slope between two repetition counts. Flops likewise
-    from the cost-analysis slope of the two compiled loop programs."""
+    prevents hoisting), slope between two repetition counts. Flops are the
+    analytic fwd+bwd matmul count (3x forward) from the param tree."""
     import dataclasses
 
     import jax
@@ -312,16 +330,17 @@ def measure_train_throughput(batch_size=256, lo=2, hi=10, dtype="bfloat16"):
             s2, m = step(s, jb, rng)
             return s2, m["loss"]
 
-        lowered = jax.jit(
+        return jax.jit(
             lambda s: jnp.sum(jax.lax.scan(body, s, None, length=K)[1])
-        ).lower(state0)
-        return lowered.compile(), stage_flops(lowered)
+        ).lower(state0).compile()
 
-    (c_lo, f_lo), (c_hi, f_hi) = loop(lo), loop(hi)
+    c_lo, c_hi = loop(lo), loop(hi)
     t_lo = med_time(lambda: float(c_lo(state0)), 3)
     t_hi = med_time(lambda: float(c_hi(state0)), 3)
     per_step = (t_hi - t_lo) / (hi - lo)
-    flops = (f_hi - f_lo) / (hi - lo) if f_lo and f_hi else None
+    # fwd+bwd ~= 3x forward matmul flops (standard), per sequence, x batch
+    flops = 3 * batch_size * analytic_forward_flops(
+        state0.params, cfg.frame_len)
     return batch_size / per_step, per_step * 1e3, flops
 
 
