@@ -25,6 +25,9 @@ class EncoderConfig:
       (Conv1DBlock*k -> Conformer)*M (conv-hybrid-model, the README API)
     * ``conv_transformer`` — (Conv1DBlock*k -> TransformerBlock)*N
       (conv-conformer.ipynb 1st-place style)
+    * ``parallel_branches`` — M Conformer || N Squeezeformer branches,
+      concat + Dense merge (conv-conformer-test-2.ipynb; the reference
+      recorded it as a NaN failure, rebuilt for inventory completeness)
     """
 
     dim: int = 256

@@ -104,8 +104,31 @@ class IsharaEncoder(nn.Module):
                     cfg.dropout, cfg.dropout, dtype=dtype,
                     use_flash=cfg.use_flash,
                     name=f"transformer_{i}")(x, mask, training)
+        if v == "parallel_branches":
+            # reference conv-conformer-test-2.ipynb: N Conformer || M
+            # Squeezeformer branches from the same stem, channel-concat,
+            # Dense merge. The reference recorded this variant as a failure
+            # (NaN losses, Final_Report p.10-11); it is rebuilt for
+            # architecture-inventory completeness — the fused step's
+            # non-finite guard (train/state._finish_step) contains the
+            # failure mode the reference could not.
+            a = b = x
+            for i in range(cfg.num_conform_blocks):
+                a = ConformerBlockR(
+                    cfg.dim, cfg.num_heads, cfg.expansion_factor,
+                    cfg.transformer_kernel_size, cfg.dropout, cfg.dropout,
+                    dtype=dtype, use_flash=cfg.use_flash,
+                    name=f"conformer_{i}")(a, mask, training)
+            for i in range(cfg.num_squeeze_blocks):
+                b = SqueezeformerBlockR(
+                    cfg.dim, cfg.num_heads, cfg.expansion_factor,
+                    cfg.transformer_kernel_size, cfg.dropout, dtype=dtype,
+                    use_flash=cfg.use_flash,
+                    name=f"squeezeformer_{i}")(b, mask, training)
+            x = nn.Dense(cfg.dim, dtype=dtype, name="merge")(
+                jnp.concatenate([a, b], axis=-1))
         if v not in ("squeezeformer", "conformer", "hybrid", "conv_hybrid",
-                     "conv_transformer"):
+                     "conv_transformer", "parallel_branches"):
             raise ValueError(f"unknown variant {v!r}")
 
         x = nn.Dense(cfg.dim * cfg.top_mult, dtype=dtype, name="top_conv")(x)

@@ -89,3 +89,36 @@ def test_baseline_configs_roundtrip(tmp_path):
         cfg.to_json(p)
         cfg2 = type(cfg).from_json(p)
         assert cfg2.model == cfg.model
+
+
+def test_parallel_branches_variant_forward_and_train():
+    """The parallel-branches architecture (conv-conformer-test-2.ipynb:
+    Conformer || Squeezeformer -> concat -> Dense merge) — the reference
+    recorded it as a NaN failure; here it must run a finite train step
+    (the fused step's non-finite guard contains blowups regardless)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from ishara_tpu.config import EncoderConfig
+    from ishara_tpu.models import build_model
+    from ishara_tpu.train import TrainState, ctc_train_step
+
+    cfg = EncoderConfig(variant="parallel_branches", dim=32,
+                        num_squeeze_blocks=2, num_conform_blocks=2,
+                        num_heads=4, frame_len=16,
+                        transformer_kernel_size=7, dropout=0.1)
+    model = build_model(cfg)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (4, 16, 276)).astype(np.float32))
+    labels = jnp.full((4, 6), 59, jnp.int32).at[:, :2].set(5)
+    state = TrainState.create(model, optax.adam(3e-3), x[:1],
+                              lookahead_sync_period=1)
+    step = jax.jit(ctc_train_step)
+    losses = []
+    for _ in range(10):
+        state, m = step(state, {"x": x, "labels": labels}, jax.random.key(0))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses
