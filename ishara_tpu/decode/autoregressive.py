@@ -85,3 +85,68 @@ def greedy_translate_cached(
     tokens, _, _ = jax.lax.fori_loop(
         1, max_len, body, (tokens, finished, caches))
     return tokens, confidence
+
+
+def beam_translate_cached(
+    model, variables, x, mask=None, max_len: int = 64,
+    beam_width: int = 4, sos: int = 1, eos: int = 2, pad: int = 0,
+    length_penalty: float = 0.0,
+):
+    """KV-cached beam search over the decoder, single sequence (x [1, T,
+    92, 3]). Beams ride the batch axis of :meth:`decode_step`; per-step the
+    W*C continuations are pruned to the top W, with parent-reordered
+    caches. ``length_penalty`` alpha divides final scores by len^alpha
+    (0 = pure log-prob, at which beam_width=1 == greedy decode —
+    tests/test_kv_decode.py). Returns (tokens [1, max_len], confidence,
+    score)."""
+    if x.shape[0] != 1:
+        raise ValueError("beam decode serves one sequence at a time")
+    W, C = beam_width, model.num_classes
+    memory, confidence = model.apply(
+        variables, x, mask, training=False, method=model.encode
+    )
+    mem_w = jnp.broadcast_to(memory, (W,) + memory.shape[1:])
+    cross = model.apply(variables, mem_w, method=model.cross_kv)
+    mask_w = (jnp.broadcast_to(mask, (W, mask.shape[1]))
+              if mask is not None else None)
+    H = model.num_heads
+    Dh = model.feature_dim // H
+    dt = memory.dtype
+    caches = [
+        (jnp.zeros((W, max_len, H, Dh), dt), jnp.zeros((W, max_len, H, Dh), dt))
+        for _ in range(model.num_decoder_layers)
+    ]
+    tokens = jnp.full((W, max_len), pad, jnp.int32).at[:, 0].set(sos)
+    # only beam 0 is live at step 1 (all beams start identically)
+    scores = jnp.full((W,), -jnp.inf, jnp.float32).at[0].set(0.0)
+    finished = jnp.zeros((W,), bool)
+
+    def body(s, carry):
+        tokens, scores, finished, caches = carry
+        prev = jax.lax.dynamic_slice_in_dim(tokens, s - 1, 1, axis=1)[:, 0]
+        logits, caches = model.apply(
+            variables, prev, s - 1, caches, cross, mask_w,
+            method=model.decode_step,
+        )
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        # finished beams extend only with pad, at no cost
+        fin_row = jnp.full((C,), -jnp.inf).at[pad].set(0.0)
+        logp = jnp.where(finished[:, None], fin_row[None], logp)
+        total = scores[:, None] + logp                  # [W, C]
+        top, idx = jax.lax.top_k(total.reshape(-1), W)  # over W*C
+        parent, tok = idx // C, (idx % C).astype(jnp.int32)
+        tokens = tokens[parent]
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, tok[:, None], s, axis=1)
+        caches = [(k[parent], v[parent]) for k, v in caches]
+        finished = finished[parent] | (tok == eos)
+        return tokens, top, finished, caches
+
+    tokens, scores, finished, _ = jax.lax.fori_loop(
+        1, max_len, body, (tokens, scores, finished, caches))
+    if length_penalty > 0.0:
+        lengths = jnp.sum((tokens != pad) & (tokens != eos), axis=1)
+        scores = scores / jnp.maximum(lengths, 1).astype(
+            jnp.float32) ** length_penalty
+    best = jnp.argmax(scores)
+    return tokens[best][None], confidence, scores[best]

@@ -13,7 +13,11 @@ import jax
 import jax.numpy as jnp
 
 from ..data import landmarks as lm
-from ..decode.autoregressive import greedy_translate, greedy_translate_cached
+from ..decode.autoregressive import (
+    beam_translate_cached,
+    greedy_translate,
+    greedy_translate_cached,
+)
 from ..preprocess.pipeline import GroupStats, frame_mask, preprocess
 
 
@@ -30,15 +34,32 @@ class TranslationEngine:
         eos: int = 2,
         pad: int = 0,
         kv_cache: bool = True,
+        decode: str = "greedy",
+        beam_width: int = 4,
+        length_penalty: float = 0.0,
     ):
         """``kv_cache=True`` (default) decodes with per-layer self-attention
         K/V caches and once-computed cross-attention K/V (O(S) decoder work
-        per sequence); ``False`` keeps the full-prefix-recompute oracle."""
+        per sequence); ``False`` keeps the full-prefix-recompute oracle.
+        ``decode="beam"`` runs KV-cached beam search (beams ride the batch
+        axis; requires ``kv_cache=True``)."""
+        if decode not in ("greedy", "beam"):
+            raise ValueError(f"decode must be 'greedy' or 'beam', got {decode!r}")
+        if decode == "beam" and not kv_cache:
+            raise ValueError("beam decode requires kv_cache=True")
         self.variables = variables
         self.max_raw_frames = max_raw_frames
         self.max_out = max_out
         stats = stats or GroupStats.identity()
-        decode_fn = greedy_translate_cached if kv_cache else greedy_translate
+        if decode == "beam":
+            def decode_fn(model, variables, x, mask, **kw):
+                tokens, conf, _ = beam_translate_cached(
+                    model, variables, x, mask, beam_width=beam_width,
+                    length_penalty=length_penalty, **kw)
+                return tokens, conf
+        else:
+            decode_fn = (greedy_translate_cached if kv_cache
+                         else greedy_translate)
 
         def program(variables, raw, length):
             flat = preprocess(raw, length, stats, frame_len)

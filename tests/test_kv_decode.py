@@ -95,3 +95,60 @@ def test_translation_engine_kv_cache_matches_oracle_engine():
     ids_o, conf_o = eng_o(raw)
     np.testing.assert_array_equal(ids_c, ids_o)
     assert abs(conf_c - conf_o) < 1e-4
+
+
+def test_beam_width1_equals_greedy(model_and_vars):
+    """Pure-logprob beam with W=1 must reproduce the greedy decode."""
+    from ishara_tpu.decode.autoregressive import beam_translate_cached
+
+    model, variables, x, mask = model_and_vars
+    x1, m1 = x[:1], mask[:1]
+    t_g, c_g = jax.jit(
+        lambda v, x, m: greedy_translate_cached(model, v, x, m, max_len=16)
+    )(variables, x1, m1)
+    t_b, c_b, score = jax.jit(
+        lambda v, x, m: beam_translate_cached(model, v, x, m, max_len=16,
+                                              beam_width=1)
+    )(variables, x1, m1)
+    np.testing.assert_array_equal(np.asarray(t_g), np.asarray(t_b))
+    assert np.isfinite(float(score))
+
+
+def test_beam_score_at_least_greedy(model_and_vars):
+    """A W=4 beam's best score >= the greedy path's log-prob (greedy is one
+    of the candidate paths the beam can keep)."""
+    from ishara_tpu.decode.autoregressive import beam_translate_cached
+
+    model, variables, x, mask = model_and_vars
+    x1, m1 = x[:1], mask[:1]
+    _, _, s1 = jax.jit(
+        lambda v, x, m: beam_translate_cached(model, v, x, m, max_len=16,
+                                              beam_width=1)
+    )(variables, x1, m1)
+    _, _, s4 = jax.jit(
+        lambda v, x, m: beam_translate_cached(model, v, x, m, max_len=16,
+                                              beam_width=4)
+    )(variables, x1, m1)
+    assert float(s4) >= float(s1) - 1e-5, (float(s4), float(s1))
+
+
+def test_translation_engine_beam_mode():
+    from ishara_tpu.serve.translation_engine import TranslationEngine
+
+    model = ASLTranslationModel(
+        num_classes=30, feature_dim=32, num_layers=1, num_decoder_layers=1,
+        num_heads=4, dropout=0.0,
+    )
+    T = 16
+    variables = model.init(jax.random.key(2), jnp.zeros((1, T, 92, 3)),
+                           jnp.ones((1, T), bool),
+                           jnp.zeros((1, 4), jnp.int32))
+    raw = np.random.default_rng(3).standard_normal((40, 276)).astype(
+        np.float32)
+    eng = TranslationEngine(model, variables, frame_len=T, max_raw_frames=64,
+                            max_out=12, decode="beam", beam_width=4)
+    ids, conf = eng(raw)
+    assert ids.shape == (12,)
+    assert np.isfinite(conf)
+    with pytest.raises(ValueError):
+        TranslationEngine(model, variables, decode="beam", kv_cache=False)
