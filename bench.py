@@ -43,16 +43,6 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def med_time(fn, n=5):
-    fn()  # warm
-    ts = []
-    for _ in range(n):
-        t = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t)
-    return float(np.median(ts))
-
-
 def analytic_forward_flops(params, T: int) -> float:
     """Matmul/attention FLOPs of one forward pass at sequence length ``T``,
     walked from the actual param tree (generic across variants; int8
@@ -86,7 +76,16 @@ def analytic_forward_flops(params, T: int) -> float:
 def slope_measure(program, variables, db, dl, lo=16, hi=784, reps=7,
                   extract=None):
     """Per-sequence (ms, flops) of ``program(variables, raw, length)`` via
-    the chained-carry slope between two in-program repetition counts."""
+    the chained-carry slope between two in-program repetition counts.
+
+    The lo/hi calls are interleaved and the slope is the median of the
+    paired (hi - lo) differences: timing all-lo then all-hi lets tunnel-RT
+    drift between the two blocks masquerade as (even negative) on-chip
+    time — one session measured -0.27 ms that way. If the paired median
+    still comes out non-positive (a mid-measurement stall), re-measure
+    once with doubled reps; a persistently non-positive slope returns
+    None so callers can mark the path unmeasured instead of recording
+    garbage."""
     import jax
     import jax.numpy as jnp
 
@@ -104,10 +103,24 @@ def slope_measure(program, variables, db, dl, lo=16, hi=784, reps=7,
         ).lower().compile()
 
     c_lo, c_hi = make(lo), make(hi)
-    t_lo = med_time(lambda: float(c_lo()), reps)
-    t_hi = med_time(lambda: float(c_hi()), reps)
-    ms = (t_hi - t_lo) / (hi - lo) * 1e3
-    return ms, c_hi
+    float(c_lo()), float(c_hi())  # warm
+
+    def paired_median(n):
+        diffs = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            float(c_lo())
+            t1 = time.perf_counter()
+            float(c_hi())
+            t2 = time.perf_counter()
+            diffs.append((t2 - t1) - (t1 - t0))
+        return float(np.median(diffs)) / (hi - lo) * 1e3
+
+    ms = paired_median(reps)
+    if ms <= 0:
+        log(f"slope_measure: non-positive slope {ms:.4f} ms, re-measuring")
+        ms = paired_median(2 * reps)
+    return (ms if ms > 0 else None), c_hi
 
 
 def implied_tflops(flops, ms) -> float | None:
@@ -206,6 +219,11 @@ def main():
 
                 with trace(profile_dir):
                     float(c_hi())
+            if ms is None:
+                log(f"serving path [{name}]: unmeasurable (slope stayed "
+                    "non-positive)")
+                serving[name] = {"ms": None, "tflops": None}
+                continue
             tput = implied_tflops(flops, ms)
             serving[name] = {"ms": round(ms, 4),
                              "tflops": round(tput, 2) if tput else None}
@@ -235,11 +253,11 @@ def main():
                                    fused=fused)
             log(f"compile(conv_hybrid {name}): "
                 f"{time.perf_counter() - t0:.1f}s")
-            cms, _, _ = slope_measure(
+            cms, _ = slope_measure(
                 ceng.program_fn(), ceng.variables, db, dl, lo, hi)
-            extra[f"conv_hybrid_{name}_ms"] = round(cms, 4)
+            extra[f"conv_hybrid_{name}_ms"] = round(cms, 4) if cms else None
             log(f"on-chip batch-1 per-seq [conv_hybrid 2+2 {name}]: "
-                f"{cms:.3f} ms")
+                + (f"{cms:.3f} ms" if cms else "unmeasurable"))
         except Exception as e:  # pragma: no cover
             log(f"conv_hybrid {name} serving failed:", repr(e))
 
@@ -263,9 +281,9 @@ def main():
         tms, _ = slope_measure(
             teng.program_fn(), teng.variables, db, dl, lo=8, hi=72, reps=5,
             extract=lambda out: jnp.sum(out[0]).astype(jnp.float32) + out[1])
-        extra["translation_kv_ms"] = round(tms, 4)
+        extra["translation_kv_ms"] = round(tms, 4) if tms else None
         log(f"on-chip batch-1 per-seq [translation kv-cached, 64-step "
-            f"greedy]: {tms:.3f} ms")
+            f"greedy]: " + (f"{tms:.3f} ms" if tms else "unmeasurable"))
     except Exception as e:  # pragma: no cover
         log("translation serving failed:", repr(e))
 
@@ -280,11 +298,12 @@ def main():
             lat.append((time.perf_counter() - t) * 1e3)
         log(f"host->host (tunnel) ms: p50={np.percentile(lat, 50):.1f}")
 
+    ok = np.isfinite(per_seq_ms)
     print(json.dumps({
         "metric": "batch1_decode_latency_ms_p50",
-        "value": round(per_seq_ms, 3),
+        "value": round(per_seq_ms, 3) if ok else None,
         "unit": "ms",
-        "vs_baseline": round(BASELINE_MS / per_seq_ms, 2),
+        "vs_baseline": round(BASELINE_MS / per_seq_ms, 2) if ok else None,
         **extra,
     }), flush=True)
 
@@ -335,9 +354,16 @@ def measure_train_throughput(batch_size=256, lo=2, hi=10, dtype="bfloat16"):
         ).lower(state0).compile()
 
     c_lo, c_hi = loop(lo), loop(hi)
-    t_lo = med_time(lambda: float(c_lo(state0)), 3)
-    t_hi = med_time(lambda: float(c_hi(state0)), 3)
-    per_step = (t_hi - t_lo) / (hi - lo)
+    float(c_lo(state0)), float(c_hi(state0))  # warm
+    diffs = []
+    for _ in range(3):  # paired lo/hi: RT drift cancels (see slope_measure)
+        t0 = time.perf_counter()
+        float(c_lo(state0))
+        t1 = time.perf_counter()
+        float(c_hi(state0))
+        t2 = time.perf_counter()
+        diffs.append((t2 - t1) - (t1 - t0))
+    per_step = float(np.median(diffs)) / (hi - lo)
     # fwd+bwd ~= 3x forward matmul flops (standard), per sequence, x batch
     flops = 3 * batch_size * analytic_forward_flops(
         state0.params, cfg.frame_len)

@@ -6,34 +6,41 @@ repetition, value fetches — see bench.py / RESULTS.md):
 
   1. encoder fwd (eval mode) at batch 64, f32 and bf16   [VERDICT target]
   2. fused train step at batch 256 bf16: full / no-dropout / rbg-PRNG
-  3. train step with flash attention (Pallas kernel) vs XLA einsum
+  3. round-3 stage ablation: preprocess / CTC / fwd / bwd / optimizer
+  4. round-3 module ablation: dw-conv width, FFN width, block type/count
 
-Run on the real chip: ``python scripts/perf_probe.py``.
+Run on the real chip: ``python scripts/perf_probe.py [sections]`` where
+``sections`` is e.g. ``34`` to run only sections 3 and 4 (default: all).
 """
 
 import dataclasses
+import sys
 import time
 
 import numpy as np
+
+SECTIONS = {int(c) for a in sys.argv[1:] for c in a if c.isdigit()} or {1, 2, 3, 4}
 
 
 def log(*a):
     print(*a, flush=True)
 
 
-def med_time(fn, n=5):
-    fn()
-    ts = []
-    for _ in range(n):
-        t = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t)
-    return float(np.median(ts))
-
-
 def slope(make_loop, lo, hi, n=5):
-    t_lo, t_hi = med_time(make_loop(lo), n), med_time(make_loop(hi), n)
-    return (t_hi - t_lo) / (hi - lo)
+    """Median of paired (hi - lo) wall times: interleaving the two loop
+    lengths cancels tunnel-RT drift that two separately-timed blocks let
+    masquerade as on-chip time (see bench.py slope_measure)."""
+    f_lo, f_hi = make_loop(lo), make_loop(hi)
+    f_lo(), f_hi()  # warm
+    diffs = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        f_lo()
+        t1 = time.perf_counter()
+        f_hi()
+        t2 = time.perf_counter()
+        diffs.append((t2 - t1) - (t1 - t0))
+    return float(np.median(diffs)) / (hi - lo)
 
 
 def main():
@@ -62,7 +69,7 @@ def main():
     ds = SyntheticASLFR(num_sequences=B, seed=3)
     batch = ds.batch(range(B), tok, max_frames=96)
 
-    for dtype in ("float32", "bfloat16"):
+    for dtype in ("float32", "bfloat16") if 1 in SECTIONS else ():
         cfg = dataclasses.replace(baseline_config(4).model, dtype=dtype)
         model = IsharaEncoder(cfg)
         x = preprocess_batch(
@@ -120,12 +127,152 @@ def main():
         return ms
 
     base = dataclasses.replace(baseline_config(4).model, dtype="bfloat16")
-    train_ms(base, "bf16 full")
-    nodrop = dataclasses.replace(base, dropout=0.0, top_dropout=0.0)
-    train_ms(nodrop, "bf16 no-dropout")
-    train_ms(base, "bf16 full rbg-prng", prng_impl="rbg")
-    train_ms(dataclasses.replace(base, use_flash=True), "bf16 flash-attn")
-    train_ms(dataclasses.replace(base, remat=True), "bf16 remat")
+    if 2 in SECTIONS:
+        train_ms(base, "bf16 full")
+        nodrop = dataclasses.replace(base, dropout=0.0, top_dropout=0.0)
+        train_ms(nodrop, "bf16 no-dropout")
+        train_ms(base, "bf16 full rbg-prng", prng_impl="rbg")
+        train_ms(dataclasses.replace(base, use_flash=True), "bf16 flash-attn")
+        train_ms(dataclasses.replace(base, remat=True), "bf16 remat")
+
+    # ---------------- 3. round-3 ablation: where do the 75 ms go? --------
+    # Same batch/config as section 2; each probe removes one pipeline stage
+    # from the SAME no-dropout step so the deltas attribute the time
+    # (dropout-free floor per VERDICT r2 #4; dropout cost is known ~3 ms).
+    from ishara_tpu.ops.ctc import ctc_loss
+    from ishara_tpu.preprocess.augment import augment
+    from ishara_tpu.preprocess.pipeline import preprocess
+    import optax
+
+    cfg = dataclasses.replace(base, dropout=0.0, top_dropout=0.0)
+    model = IsharaEncoder(cfg)
+    sample = jnp.zeros((1, cfg.frame_len, cfg.input_dim), jnp.float32)
+    state0 = TrainState.create(model, tx, sample)
+    rng = jax.random.key(0)
+
+    def prep_batch(aug=True):
+        def prep(key, raw, length):
+            if aug:
+                raw, length = augment(key, raw, length, prob=0.2)
+            return preprocess(raw, length, GroupStats.identity(),
+                              cfg.frame_len)
+        keys = jax.random.split(rng, B)
+        return jax.vmap(prep)(keys, jb["raw"], jb["lengths"])
+
+    x_pre = jax.jit(lambda: prep_batch(aug=False))()
+
+    def probe(label, fn, lo=2, hi=10, state=None, section=3):
+        if section not in SECTIONS:
+            return None
+        st = state0 if state is None else state
+        def loop(K):
+            def body(s, _):
+                s2, out = fn(s)
+                return s2, out
+            compiled = jax.jit(
+                lambda s: jnp.sum(jax.lax.scan(body, s, None, length=K)[1])
+            ).lower(st).compile()
+            return lambda: float(compiled(st))
+        ms = slope(loop, lo, hi, n=3) * 1e3
+        log(f"probe [{label}]: {ms:.1f} ms ({B / ms * 1e3:.0f} seqs/s)")
+        return ms
+
+    def fwd_bwd(loss_of_logits, x):
+        def fn(s):
+            def loss_fn(params):
+                logits, updates = s.apply_fn(
+                    {"params": params, "batch_stats": s.batch_stats},
+                    x, training=True, mutable=["batch_stats"])
+                return loss_of_logits(logits), updates["batch_stats"]
+            (loss, nbs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(s.params)
+            from ishara_tpu.train.state import _finish_step
+            s2, m = _finish_step(s, loss, grads, nbs)
+            return s2, m["loss"]
+        return fn
+
+    ctc = lambda lg: ctc_loss(lg, jb["labels"], blank_id=cfg.blank_id)  # noqa: E731
+    sq = lambda lg: jnp.mean(jnp.square(lg.astype(jnp.float32)))  # noqa: E731
+
+    # full chain (aug+preprocess+fwd+ctc+bwd+update), = section-2 no-dropout
+    def full(s):
+        x = prep_batch(aug=True)
+        return fwd_bwd(ctc, x)(s)
+    probe("full no-dropout", full)
+    # drop aug+preprocess (pre-preprocessed input)
+    probe("no-preprocess", fwd_bwd(ctc, x_pre))
+    # swap CTC for a trivial loss (isolates CTC fwd+bwd)
+    probe("no-preprocess, mse-loss", fwd_bwd(sq, x_pre))
+
+    # forward only (no grad, no update); the carry MUST feed the model
+    # input or XLA hoists the whole forward out of the scan (the round-3
+    # first cut measured 1.4 ms that way — garbage)
+    def fwd_only(s):
+        x = x_pre + s.step.astype(jnp.float32) * 1e-12
+        logits = s.apply_fn(
+            {"params": s.params, "batch_stats": s.batch_stats},
+            x, training=False)
+        return s.replace(step=s.step + 1), \
+            jnp.mean(jnp.square(logits.astype(jnp.float32)))
+    probe("fwd only (eval mode)", fwd_only)
+
+    # training-mode forward only (stores/extra BN work, no grads)
+    def fwd_train(s):
+        x = x_pre + s.step.astype(jnp.float32) * 1e-12
+        logits, _ = s.apply_fn(
+            {"params": s.params, "batch_stats": s.batch_stats},
+            x, training=True, rngs={"dropout": rng},
+            mutable=["batch_stats"])
+        return s.replace(step=s.step + 1), \
+            jnp.mean(jnp.square(logits.astype(jnp.float32)))
+    probe("fwd only (train mode, no-dropout cfg)", fwd_train)
+
+    # optimizer/update only: grads = params-shaped ones
+    ones = jax.tree_util.tree_map(jnp.ones_like, state0.params)
+
+    def opt_only(s):
+        from ishara_tpu.train.state import _finish_step
+        s2, m = _finish_step(s, jnp.float32(1.0), ones, s.batch_stats)
+        return s2, m["loss"]
+    probe("optimizer update only", opt_only, lo=8, hi=40)
+
+    # CTC alone, fwd+bwd wrt logits
+    lg0 = jnp.zeros((B, cfg.frame_len, 60), jnp.float32)
+
+    def ctc_only(s):
+        v, g = jax.value_and_grad(
+            lambda lg: ctc(lg + s.step.astype(jnp.float32) * 1e-12))(lg0)
+        return s.replace(step=s.step + 1), v + jnp.sum(g[0, 0])
+    probe("ctc loss fwd+bwd only", ctc_only, lo=8, hi=40)
+
+    # flash-attention kernel in the dropout-free fwd+bwd: the einsum path
+    # materializes [B, H, T, T] probabilities to HBM for the backward pass
+    # (x8 blocks); the Pallas kernel recomputes them blockwise
+    cfg_f = dataclasses.replace(cfg, use_flash=True)
+    model_f = IsharaEncoder(cfg_f)
+    state_f = TrainState.create(model_f, tx, sample)
+    probe("no-preprocess, flash-attn", fwd_bwd(ctc, x_pre), state=state_f)
+    probe("no-preprocess, mse-loss, flash-attn", fwd_bwd(sq, x_pre),
+          state=state_f)
+
+    # ---------------- 4. module ablation: where does the bwd go? --------
+    # All probes are the SAME dropout-free fwd+bwd+update with mse loss
+    # (model time only, no CTC/preprocess), one architecture knob turned per
+    # row, so deltas vs "baseline 4+4" attribute time to a module. Training
+    # mode auto-selects the flash attention kernel after round 3.
+    def ablate(label, **repl):
+        cfg_a = dataclasses.replace(cfg, **repl)
+        model_a = IsharaEncoder(cfg_a)
+        st = TrainState.create(model_a, tx, sample)
+        probe(f"ablate {label}", fwd_bwd(sq, x_pre), state=st, section=4)
+
+    ablate("baseline 4+4")
+    ablate("dw-conv k=3 (vs 15)", transformer_kernel_size=3)
+    ablate("ffn expansion=1 (vs 2)", expansion_factor=1)
+    ablate("blocks 2+2 (vs 4+4)", num_squeeze_blocks=2, num_conform_blocks=2)
+    ablate("dim=128 (vs 256)", dim=128)
+    ablate("8x squeezeformer", variant="squeezeformer", num_squeeze_blocks=8)
+    ablate("8x conformer", variant="conformer", num_conform_blocks=8)
 
 
 if __name__ == "__main__":
