@@ -197,10 +197,16 @@ class MultiHeadSelfAttention(nn.Module):
 
         rate = 0.0 if deterministic else self.dropout
         # in-kernel dropout needs the TPU PRNG; interpret mode (CPU tests)
-        # falls back to einsum when dropout is active. On TPU with dropout
-        # active the kernel is automatically preferred (faster than
-        # materializing [B, H, T, T] for the mask — see class docstring).
-        flash = self.use_flash or (rate > 0.0 and _on_tpu() and T <= 384)
+        # falls back to einsum when dropout is active. On TPU the kernel is
+        # automatically preferred in TRAINING mode (not deterministic), with
+        # or without dropout: with dropout it avoids materializing
+        # [B, H, T, T] for the mask (class docstring), and even dropout-free
+        # the fwd+bwd is ~8% faster because the einsum backward writes the
+        # probabilities to HBM while the kernel recomputes them blockwise
+        # (RESULTS.md round 3: 66.2 -> 60.9 ms batch-256 step). Eval keeps
+        # einsum — measured 3x faster at serving sizes (T=176).
+        flash = self.use_flash or (
+            not deterministic and _on_tpu() and T <= 384)
         if flash and (_on_tpu() or rate == 0.0):
             bias = (
                 jnp.where(mask, 0.0, NEG).astype(jnp.float32)
