@@ -14,10 +14,15 @@ Run on the real chip: ``python scripts/perf_probe.py [sections]`` where
 """
 
 import dataclasses
+import os
 import sys
 import time
 
 import numpy as np
+
+# runnable as `python scripts/perf_probe.py` from the repo root (never via
+# PYTHONPATH — that breaks the axon PJRT registration, CLAUDE.md)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SECTIONS = {int(c) for a in sys.argv[1:] for c in a if c.isdigit()} or {1, 2, 3, 4}
 
