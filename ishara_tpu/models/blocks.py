@@ -14,7 +14,7 @@ from .layers import (
     LN_EPS,
     CausalDWConv1D,
     ECA,
-    FastDropout,
+    FastDropoutAdd,
     FeedForwardModule,
     ConformerConvModule,
     MultiHeadSelfAttention,
@@ -76,7 +76,7 @@ class SqueezeformerBlock(nn.Module):
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
         h = FeedForwardModule(self.dim, self.expansion_factor, self.dropout,
                               dtype=self.dtype, name="ffn1")(h, deterministic=det)
-        x = res + FastDropout(self.dropout)(h, deterministic=det)
+        x = FastDropoutAdd(self.dropout)(res, h, deterministic=det)
 
         res = x
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)
@@ -86,7 +86,7 @@ class SqueezeformerBlock(nn.Module):
                                    causal=self.causal,
                                    attn_context=self.attn_context, name="mha")(
             h, mask=mask, deterministic=det)
-        x = res + FastDropout(self.dropout)(h, deterministic=det)
+        x = FastDropoutAdd(self.dropout)(res, h, deterministic=det)
 
         x = SqueezeformerConvModule(self.dim, self.kernel_size,
                                     self.expansion_factor, dtype=self.dtype,
@@ -97,7 +97,7 @@ class SqueezeformerBlock(nn.Module):
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm3")(x)
         h = FeedForwardModule(self.dim, self.expansion_factor, self.dropout,
                               dtype=self.dtype, name="ffn2")(h, deterministic=det)
-        return res + FastDropout(self.dropout)(h, deterministic=det)
+        return FastDropoutAdd(self.dropout)(res, h, deterministic=det)
 
 
 class ConformerBlock(nn.Module):

@@ -255,6 +255,23 @@ class FastDropout(nn.Module):
         return fast_dropout(x, self.make_rng("dropout"), self.rate)
 
 
+class FastDropoutAdd(nn.Module):
+    """Fused ``res + dropout(h)`` for the residual sites (ops/dropout.py
+    ``tpu_dropout_add``): same semantics as ``res + FastDropout(rate)(h)``
+    but one kernel pass — saves a full write+read of the branch tensor per
+    site on TPU (~24 sites/step on the flagship hybrid)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, res, h, deterministic: bool = True):
+        from ..ops.dropout import fast_dropout_add
+
+        if deterministic or self.rate <= 0.0:
+            return res + h
+        return fast_dropout_add(res, h, self.make_rng("dropout"), self.rate)
+
+
 class RowDropout(nn.Module):
     """Keras ``Dropout(noise_shape=(None, 1, 1))``: drops whole samples."""
 

@@ -36,12 +36,24 @@ def ctc_loss(
     label_lengths: jnp.ndarray | None = None,
     blank_id: int = 59,
     reduction: str = "mean",
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Negative log-likelihood of ``labels`` under the CTC alignment model.
 
     ``label_lengths`` defaults to the non-blank count per row (reference
     CTCLoss contract); ``logit_lengths`` defaults to the full T.
+
+    ``impl``: "auto" routes the training contract (default lengths) to the
+    Pallas forward-backward kernel on TPU (ops/ctc_kernel.py — in-VMEM
+    recursions, analytic gradient); "scan" forces this lax.scan reference
+    implementation; "kernel" forces the kernel (interpret mode off-TPU).
     """
+    if impl != "scan" and logit_lengths is None and label_lengths is None:
+        from .attention import _on_tpu
+        if impl == "kernel" or _on_tpu():
+            from .ctc_kernel import ctc_loss_kernel
+            return ctc_loss_kernel(logits, labels, blank_id=blank_id,
+                                   reduction=reduction)
     B, T, C = logits.shape
     U = labels.shape[1]
     S = 2 * U + 1

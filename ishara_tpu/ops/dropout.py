@@ -98,6 +98,82 @@ def _vjp_bwd(rate, seed, dy):
 tpu_dropout.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+def _add_kernel(rate, seed_ref, res_ref, x_ref, o_ref):
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    bits = pltpu.bitcast(pltpu.prng_random_bits(x_ref.shape), jnp.uint32)
+    threshold = jnp.uint32(int(rate * (2 ** 32)))
+    keep = (bits >= threshold).astype(jnp.float32)
+    scale = 1.0 / (1.0 - rate)
+    o_ref[:] = (res_ref[:].astype(jnp.float32)
+                + x_ref[:].astype(jnp.float32) * keep * scale
+                ).astype(o_ref.dtype)
+
+
+def _apply_add(res, x, seed, rate):
+    shape = x.shape
+    C = shape[-1]
+    R = 1
+    for d in shape[:-1]:
+        R *= d
+    x2 = x.reshape(R, C)
+    r2 = res.reshape(R, C)
+    br = max(8, min(R, (1 << 19) // max(C, 1)))
+    br = min(R, (br + 7) // 8 * 8)
+    grid = (R + br - 1) // br
+    out = pl.pallas_call(
+        functools.partial(_add_kernel, rate),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((br, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((br, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, C), x.dtype),
+    )(seed, r2, x2)
+    return out.reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def tpu_dropout_add(res, x, seed, rate: float):
+    """Fused ``res + dropout(x)`` — the residual-site pattern in every
+    encoder block (reference SqueezeformerBlock residual dropout,
+    nb cell 5). One kernel pass instead of dropout-write + XLA add-read:
+    saves a full round-trip of the branch tensor per site.
+
+    Backward: d/dres = dy (identity, no kernel); d/dx regenerates the same
+    PRNG mask — exactly `tpu_dropout`'s backward.
+    """
+    if rate <= 0.0:
+        return res + x
+    return _apply_add(res, x, seed, rate)
+
+
+def _vjp_add_fwd(res, x, seed, rate):
+    return tpu_dropout_add(res, x, seed, rate), seed
+
+
+def _vjp_add_bwd(rate, seed, dy):
+    dx = _apply(dy, seed, rate) if rate > 0.0 else dy
+    return dy, dx, None
+
+
+tpu_dropout_add.defvjp(_vjp_add_fwd, _vjp_add_bwd)
+
+
+def fast_dropout_add(res, x, rng, rate: float):
+    """`res + dropout(x)` dispatcher: fused hardware-PRNG kernel on TPU,
+    jax.random elsewhere (identical semantics, different mask stream)."""
+    if rate <= 0.0:
+        return res + x
+    if _on_tpu():
+        seed = jax.random.randint(rng, (1,), 0, 2 ** 31 - 1, jnp.int32)
+        return tpu_dropout_add(res, x, seed, rate)
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return res + jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
 def fast_dropout(x, rng, rate: float):
     """Dropout dispatcher: hardware-PRNG kernel on TPU, jax.random elsewhere.
 

@@ -1,0 +1,51 @@
+"""CPU-fallback semantics of fast_dropout_add (the fused residual-site
+dropout, ops/dropout.py): must equal res + fast_dropout(x) with the same
+RNG, and pass through at rate 0 / deterministic."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ishara_tpu.ops.dropout import fast_dropout, fast_dropout_add
+
+
+def test_fallback_matches_unfused():
+    r = np.random.default_rng(0)
+    res = jnp.asarray(r.standard_normal((4, 20, 32)).astype(np.float32))
+    x = jnp.asarray(r.standard_normal((4, 20, 32)).astype(np.float32))
+    rng = jax.random.key(7)
+    fused = fast_dropout_add(res, x, rng, 0.3)
+    unfused = res + fast_dropout(x, rng, 0.3)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
+                               rtol=1e-6)
+
+
+def test_rate_zero_is_plain_add():
+    res = jnp.ones((2, 3, 4))
+    x = jnp.full((2, 3, 4), 2.0)
+    out = fast_dropout_add(res, x, jax.random.key(0), 0.0)
+    np.testing.assert_array_equal(np.asarray(out), 3.0)
+
+
+def test_module_site_still_trains():
+    """SqueezeformerBlock with the fused residual sites: grads flow and
+    eval mode is exactly res + h."""
+    from ishara_tpu.models.blocks import SqueezeformerBlock
+
+    block = SqueezeformerBlock(dim=32, num_heads=4, expansion_factor=2,
+                               kernel_size=3, dropout=0.2)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 12, 32)).astype(np.float32))
+    variables = block.init(jax.random.key(0), x)
+
+    def loss(params):
+        vs = dict(variables, params=params)
+        out = block.apply(
+            vs, x, training=True, rngs={"dropout": jax.random.key(1)},
+            mutable=["batch_stats"])[0]
+        return jnp.mean(jnp.square(out))
+
+    g = jax.grad(loss)(variables["params"])
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(v)).all() for v in flat)
+    assert any(float(jnp.abs(v).max()) > 0 for v in flat)

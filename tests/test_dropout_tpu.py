@@ -61,3 +61,36 @@ def test_bfloat16_and_odd_shapes():
     kept = y != 0.0
     np.testing.assert_allclose(y[kept], 1.0 / (1 - RATE), rtol=2e-2)
     assert 0.5 < kept.mean() < 0.95
+
+
+def test_dropout_add_matches_unfused_pair():
+    """tpu_dropout_add(res, x) == res + tpu_dropout(x): same grid/block
+    decomposition => identical PRNG mask, and f32 adds are exact."""
+    from ishara_tpu.ops.dropout import tpu_dropout_add
+
+    r = np.random.default_rng(1)
+    res = jnp.asarray(r.standard_normal((40, 176, 128)).astype(np.float32))
+    x = jnp.asarray(r.standard_normal((40, 176, 128)).astype(np.float32))
+    fused = np.asarray(jax.jit(
+        lambda r_, x_: tpu_dropout_add(r_, x_, SEED, RATE))(res, x))
+    unfused = np.asarray(jax.jit(
+        lambda r_, x_: r_ + tpu_dropout(x_, SEED, RATE))(res, x))
+    np.testing.assert_array_equal(fused, unfused)
+
+
+def test_dropout_add_vjp():
+    """d/dres is the identity; d/dx regenerates the forward mask."""
+    from ishara_tpu.ops.dropout import tpu_dropout_add
+
+    r = np.random.default_rng(2)
+    res = jnp.asarray(r.standard_normal((16, 256)).astype(np.float32))
+    x = jnp.asarray(r.standard_normal((16, 256)).astype(np.float32))
+    gr, gx = jax.jit(jax.grad(
+        lambda r_, x_: jnp.sum(tpu_dropout_add(r_, x_, SEED, RATE)),
+        argnums=(0, 1)))(res, x)
+    np.testing.assert_allclose(np.asarray(gr), 1.0, rtol=1e-6)
+    dropped = np.asarray(jax.jit(
+        lambda x_: tpu_dropout(x_, SEED, RATE))(x))
+    np.testing.assert_allclose(
+        np.asarray(gx),
+        np.where(dropped != 0.0, 1.0 / (1 - RATE), 0.0), rtol=1e-6)
