@@ -15,7 +15,7 @@ from .layers import (
     CausalDWConv1D,
     ECA,
     FastDropoutAdd,
-    FeedForwardModule,
+    FusedFFN,
     ConformerConvModule,
     MultiHeadSelfAttention,
     RowDropout,
@@ -74,9 +74,9 @@ class SqueezeformerBlock(nn.Module):
         det = not training
         res = x
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
-        h = FeedForwardModule(self.dim, self.expansion_factor, self.dropout,
-                              dtype=self.dtype, name="ffn1")(h, deterministic=det)
-        x = FastDropoutAdd(self.dropout)(res, h, deterministic=det)
+        x = FusedFFN(self.dim, self.expansion_factor, self.dropout,
+                     res_rate=self.dropout, dtype=self.dtype,
+                     name="ffn1")(res, h, deterministic=det)
 
         res = x
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)
@@ -95,9 +95,9 @@ class SqueezeformerBlock(nn.Module):
 
         res = x
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm3")(x)
-        h = FeedForwardModule(self.dim, self.expansion_factor, self.dropout,
-                              dtype=self.dtype, name="ffn2")(h, deterministic=det)
-        return FastDropoutAdd(self.dropout)(res, h, deterministic=det)
+        return FusedFFN(self.dim, self.expansion_factor, self.dropout,
+                        res_rate=self.dropout, dtype=self.dtype,
+                        name="ffn2")(res, h, deterministic=det)
 
 
 class ConformerBlock(nn.Module):
@@ -124,9 +124,8 @@ class ConformerBlock(nn.Module):
         ln1 = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln1")
         res = x
         h = ln1(x)
-        h = FeedForwardModule(self.dim, self.expand, self.drop_rate,
-                              dtype=self.dtype, name="ffn1")(h, deterministic=det)
-        x = res + h
+        x = FusedFFN(self.dim, self.expand, self.drop_rate, res_rate=0.0,
+                     dtype=self.dtype, name="ffn1")(res, h, deterministic=det)
 
         res = x
         h = ln1(x)
@@ -144,9 +143,9 @@ class ConformerBlock(nn.Module):
 
         res = x
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln2")(x)
-        h = FeedForwardModule(self.dim, self.expand, self.drop_rate,
-                              dtype=self.dtype, name="ffn2")(h, deterministic=det)
-        return res + h
+        return FusedFFN(self.dim, self.expand, self.drop_rate, res_rate=0.0,
+                        dtype=self.dtype, name="ffn2")(res, h,
+                                                       deterministic=det)
 
 
 class TransformerBlock(nn.Module):

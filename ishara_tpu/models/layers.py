@@ -20,6 +20,7 @@ reference's cross-replica TPUStrategy behavior without explicit collectives.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -298,6 +299,56 @@ class FeedForwardModule(nn.Module):
         x = nn.swish(x)
         x = FastDropout(self.dropout)(x, deterministic=deterministic)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+
+
+class FusedFFN(nn.Module):
+    """FFN + residual as one training kernel (ops/ffn_kernel.py).
+
+    Drop-in for ``res + [FastDropout] FeedForwardModule(LN(x))`` at the
+    block FFN sites: identical math and param tree (``fc1``/``fc2`` Dense
+    children — checkpoints and the serving fused_block param paths are
+    unchanged), but training-mode forwards on TPU run Dense->swish->
+    dropout->Dense->res-dropout->add as a single Pallas kernel whose
+    backward regenerates the masks and recomputes the hidden
+    (flash-attention-style), eliminating the per-site HBM round-trips of
+    the hidden/branch tensors. Eval mode, CPU, and init use the exact XLA
+    composition. ``res_rate`` is the residual-branch dropout (reference
+    SqueezeformerBlock shared-dropout sites; 0 for the Conformer FFNs)."""
+
+    dim: int
+    expansion_factor: int = 4
+    dropout: float = 0.1
+    res_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, res, x, deterministic: bool = True):
+        from ..ops.attention import _on_tpu
+        from ..ops.ffn_kernel import ffn_residual
+
+        d0 = nn.Dense(self.dim * self.expansion_factor, dtype=self.dtype,
+                      name="fc1")
+        d1 = nn.Dense(self.dim, dtype=self.dtype, name="fc2")
+        # Fuse only when a dropout site is active: without dropout XLA's
+        # composition is already optimal (no mask kernels to pay for) and
+        # measured 8 ms/step faster than the hand-written matmuls.
+        dropping = self.dropout > 0.0 or self.res_rate > 0.0
+        if (not deterministic and dropping and _on_tpu()
+                and not self.is_initializing()):
+            p0 = self.get_variable("params", "fc1")
+            p1 = self.get_variable("params", "fc2")
+            seeds = jax.random.randint(
+                self.make_rng("dropout"), (2,), 0, 2 ** 31 - 1, jnp.int32)
+            return ffn_residual(
+                x, res, p0["kernel"], p0["bias"], p1["kernel"], p1["bias"],
+                seeds, float(self.dropout), float(self.res_rate), False)
+        h = nn.swish(d0(x))
+        h = FastDropout(self.dropout)(h, deterministic=deterministic)
+        h = d1(h)
+        if self.res_rate > 0.0:
+            return FastDropoutAdd(self.res_rate)(res, h,
+                                                 deterministic=deterministic)
+        return res + h
 
 
 class SqueezeformerConvModule(nn.Module):

@@ -25,6 +25,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SECTIONS = {int(c) for a in sys.argv[1:] for c in a if c.isdigit()} or {1, 2, 3, 4}
+# section 5: dropout-kernel micro-bench (bandwidth vs launch attribution)
 
 
 def log(*a):
@@ -270,6 +271,49 @@ def main():
         model_a = IsharaEncoder(cfg_a)
         st = TrainState.create(model_a, tx, sample)
         probe(f"ablate {label}", fwd_bwd(sq, x_pre), state=st, section=4)
+
+    # ---------------- 5. dropout kernel micro-bench ----------------
+    # Where do the ~13 ms of dropout go? Time the kernels standalone at the
+    # two real site geometries (FFN hidden [256,176,512], residual
+    # [256,176,256]) and compare against the HBM round-trip bound.
+    if 5 in SECTIONS:
+        from ishara_tpu.ops.dropout import tpu_dropout, tpu_dropout_add
+
+        seed = jnp.asarray([1234], jnp.int32)
+        for shape in [(256, 176, 512), (256, 176, 256)]:
+            xb = jnp.ones(shape, jnp.bfloat16)
+
+            def drop_loop(K, xb=xb):
+                def body(c, _):
+                    return tpu_dropout(c, seed, 0.2), None
+                compiled = jax.jit(
+                    lambda x0: jnp.sum(
+                        jax.lax.scan(body, x0, None, length=K)[0]
+                        .astype(jnp.float32))
+                ).lower(xb).compile()
+                return lambda: float(compiled(xb))
+
+            ms = slope(drop_loop, 8, 40) * 1e3
+            gb = 2 * xb.size * 2 / 1e9
+            log(f"probe [tpu_dropout {shape}]: {ms:.3f} ms "
+                f"({gb / (ms / 1e3):.0f} GB/s eff; r+w bound "
+                f"{gb / 0.819:.3f} ms)")
+
+            def dropadd_loop(K, xb=xb):
+                def body(c, _):
+                    return tpu_dropout_add(c, xb, seed, 0.2), None
+                compiled = jax.jit(
+                    lambda x0: jnp.sum(
+                        jax.lax.scan(body, x0, None, length=K)[0]
+                        .astype(jnp.float32))
+                ).lower(xb).compile()
+                return lambda: float(compiled(xb))
+
+            ms = slope(dropadd_loop, 8, 40) * 1e3
+            gb = 3 * xb.size * 2 / 1e9
+            log(f"probe [tpu_dropout_add {shape}]: {ms:.3f} ms "
+                f"({gb / (ms / 1e3):.0f} GB/s eff; bound "
+                f"{gb / 0.819:.3f} ms)")
 
     ablate("baseline 4+4")
     ablate("dw-conv k=3 (vs 15)", transformer_kernel_size=3)
