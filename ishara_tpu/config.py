@@ -92,6 +92,19 @@ class TrainConfig:
     steps_per_epoch: int = 1000      # set from dataset at runtime
     checkpoint_every_epochs: int = 40
     validate_every_epochs: int = 5
+    # EarlyStopping parity (nb4 train_model: EarlyStopping(patience=20,
+    # restore_best_weights=True)): stop after this many epochs without a
+    # val_score improvement (0 = never stop early). Improvements are only
+    # observable at validation epochs, so an effective patience below
+    # validate_every_epochs never triggers.
+    early_stop_patience: int = 0
+    # restore the best-val checkpoint into the final state when train()
+    # returns (the Keras restore_best_weights=True behavior)
+    restore_best_at_end: bool = False
+    # every N optimizer steps, run the histogram-instrumented train step and
+    # log per-layer gradient/parameter histograms (reference wandb.watch(
+    # model, log_freq=100), integration.py:672). 0 = off.
+    histogram_every_steps: int = 0
 
 
 @dataclass

@@ -145,7 +145,10 @@ def beam_translate_cached(
     tokens, scores, finished, _ = jax.lax.fori_loop(
         1, max_len, body, (tokens, scores, finished, caches))
     if length_penalty > 0.0:
-        lengths = jnp.sum((tokens != pad) & (tokens != eos), axis=1)
+        # count generated tokens only: position 0 is always sos (neither pad
+        # nor eos), so it is excluded from the per-beam length
+        gen = tokens[:, 1:]
+        lengths = jnp.sum((gen != pad) & (gen != eos), axis=1)
         scores = scores / jnp.maximum(lengths, 1).astype(
             jnp.float32) ** length_penalty
     best = jnp.argmax(scores)

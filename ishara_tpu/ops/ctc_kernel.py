@@ -122,7 +122,15 @@ def _extend(labels, blank_id):
 
 
 def _chunks(n, cap):
-    return math.gcd(n, cap)
+    # largest divisor of n that is <= cap. gcd(n, cap) only finds divisors
+    # sharing cap's prime factors, so an odd/prime n silently collapsed to
+    # chunk 1 (a T-step grid). n is at most a few thousand; the scan is
+    # trace-time Python.
+    best = 1
+    for d in range(2, cap + 1):
+        if n % d == 0:
+            best = d
+    return best
 
 
 def _forward(logits, labels, blank_id):
@@ -246,8 +254,22 @@ _ctc_nll.defvjp(_vjp_fwd, _vjp_bwd)
 def ctc_loss_kernel(logits, labels, blank_id: int = 59,
                     reduction: str = "mean"):
     """Pallas-kernel CTC loss for the training contract (full logit length,
-    labels blank-padded). Same value and gradient as ops.ctc.ctc_loss."""
-    loss = _ctc_nll(logits, labels, blank_id)
+    labels blank-padded). Same value and gradient as ops.ctc.ctc_loss.
+
+    A batch that is odd/prime would make the kernels' batch-block divisor
+    collapse to 1 (pathological grid overhead), so the batch is padded to a
+    multiple of 8 with all-blank rows and the padded losses discarded —
+    gradient flows only through the real rows."""
+    B = logits.shape[0]
+    pad = (-B) % 8
+    if pad and B > 8:
+        logits = jnp.concatenate(
+            [logits, jnp.broadcast_to(logits[:1], (pad,) + logits.shape[1:])],
+            axis=0)
+        labels = jnp.concatenate(
+            [labels, jnp.full((pad,) + labels.shape[1:], blank_id,
+                              labels.dtype)], axis=0)
+    loss = _ctc_nll(logits, labels, blank_id)[:B]
     if reduction == "mean":
         return jnp.mean(loss)
     if reduction == "none":

@@ -219,7 +219,7 @@ def _ffn_fwd(x, res, w1, b1, w2, b2, seeds, rate1, rate2, interpret):
     b2r = b2.astype(jnp.float32).reshape(1, -1)
     out = _fwd_call(x2, res2, w1c, b1r, w2c, b2r, seeds, rate1, rate2,
                     interpret)
-    return out.reshape(shape), (x, w1, b1, w2, seeds)
+    return out.reshape(shape), (x, w1, b1, w2, b2, seeds)
 
 
 def _ffn_vjp_fwd(x, res, w1, b1, w2, b2, seeds, rate1, rate2, interpret):
@@ -227,7 +227,7 @@ def _ffn_vjp_fwd(x, res, w1, b1, w2, b2, seeds, rate1, rate2, interpret):
 
 
 def _ffn_vjp_bwd(rate1, rate2, interpret, resids, dy):
-    x, w1, b1, w2, seeds = resids
+    x, w1, b1, w2, b2, seeds = resids
     shape = x.shape
     k = shape[-1]
     n = _rows(shape)
@@ -239,7 +239,7 @@ def _ffn_vjp_bwd(rate1, rate2, interpret, resids, dy):
         w2.astype(cd), seeds, rate1, rate2, interpret)
     return (dx2.reshape(shape), dy, dw1.astype(w1.dtype),
             db1[0].astype(b1.dtype), dw2.astype(w2.dtype),
-            db2[0].astype(b1.dtype), None)
+            db2[0].astype(b2.dtype), None)
 
 
 ffn_residual.defvjp(_ffn_vjp_fwd, _ffn_vjp_bwd)

@@ -69,9 +69,34 @@ def nan_filter_left_hand_flip(frames: np.ndarray) -> np.ndarray:
     return frames
 
 
-def predict_from_image(engine, tokenizer, image_path: str) -> str:
+def topk_classes(engine, raw_frames: np.ndarray, tokenizer, k: int = 3):
+    """Top-k (token, probability) over the frame-averaged class softmax —
+    the reference image client's diagnostic surface
+    (image_inference.py:66-72 prints the top-3 class indices/probs of the
+    model output). Runs the engine's model forward on the preprocessed
+    window; the decoded-text path stays the compiled serving program."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..preprocess.pipeline import preprocess
+
+    x = preprocess(
+        jnp.asarray(raw_frames, jnp.float32), raw_frames.shape[0],
+        engine.stats, engine.frame_len)
+    logits = engine.model.apply(
+        engine.raw_variables, x[None], training=False)
+    probs = jnp.mean(jax.nn.softmax(logits[0], axis=-1), axis=0)
+    top_p, top_i = jax.lax.top_k(probs, k)
+    return [(tokenizer.decode(np.asarray([i])), float(p))
+            for i, p in zip(np.asarray(top_i), np.asarray(top_p))]
+
+
+def predict_from_image(engine, tokenizer, image_path: str,
+                       top_k: int = 0):
     """Static-image prediction (image_inference.py): one MediaPipe frame ->
-    engine -> text."""
+    engine -> text. With ``top_k`` > 0 also returns the top-k
+    (token, probability) list the reference script prints
+    (image_inference.py:66-72)."""
     cv2 = _require("cv2")
     mp = _require("mediapipe")
 
@@ -79,7 +104,10 @@ def predict_from_image(engine, tokenizer, image_path: str) -> str:
     with mp.solutions.holistic.Holistic(static_image_mode=True) as holistic:
         results = holistic.process(img)
     frame = mediapipe_to_frame(results)
-    return engine.predict_text(frame[None, :], tokenizer)
+    text = engine.predict_text(frame[None, :], tokenizer)
+    if top_k > 0:
+        return text, topk_classes(engine, frame[None, :], tokenizer, top_k)
+    return text
 
 
 def run_webcam(engine, tokenizer, window_frames: int = 64,
@@ -129,7 +157,11 @@ def run_webcam(engine, tokenizer, window_frames: int = 64,
                 text = engine.predict_text(seq, tokenizer)
                 texts.append(text)
             if draw:
-                if getattr(results, "right_hand_landmarks", None):
+                # mp is only imported when no extractor was injected; an
+                # injected extractor can still hand back MediaPipe-style
+                # results, so guard the landmark overlay on mp itself
+                if mp is not None and getattr(
+                        results, "right_hand_landmarks", None):
                     mp.solutions.drawing_utils.draw_landmarks(
                         img, results.right_hand_landmarks)
                 cv2.putText(img, text, (10, 40),

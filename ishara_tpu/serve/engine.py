@@ -131,6 +131,9 @@ class InferenceEngine:
         self.max_raw_frames = max_raw_frames
         self.max_out = max_out
         self.frame_len = model.cfg.frame_len
+        # original (unfused) tree kept for diagnostic forwards that go
+        # through model.apply (clients.topk_classes)
+        self.raw_variables = variables
         self.variables = prepare_serving_variables(variables, fused)
         self._program = make_serving_program(
             model, self.stats, max_out, decode=decode,

@@ -122,7 +122,7 @@ def ctc_train_step(
 def make_fused_ctc_train_step(
     stats, frame_len: int, aug_prob: float = 0.2, blank_id: int = 59,
     lr_flip_prob: float = 0.0, dominant_hand: bool = False,
-    qat: bool = False,
+    qat: bool = False, with_grads: bool = False,
 ):
     """Train step with augmentation + preprocessing fused into the same XLA
     program: batch arrives raw ([B, Tmax, 276] + lengths), the whole
@@ -165,7 +165,14 @@ def make_fused_ctc_train_step(
         (loss, new_batch_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        return _finish_step(state, loss, grads, new_batch_stats)
+        new_state, metrics = _finish_step(state, loss, grads,
+                                          new_batch_stats)
+        if with_grads:
+            # histogram-instrumented variant (TrainConfig.
+            # histogram_every_steps): same update, grads also returned so
+            # the Trainer can log per-layer histograms (wandb.watch parity)
+            metrics["grads"] = grads
+        return new_state, metrics
 
     return step
 
@@ -190,9 +197,13 @@ def make_fused_ctc_eval_step(stats, frame_len: int, blank_id: int = 59,
             {"params": params, "batch_stats": state.batch_stats},
             x, training=False,
         )
-        loss = ctc_loss(logits, batch["labels"], blank_id=blank_id)
+        per_seq = ctc_loss(logits, batch["labels"], blank_id=blank_id,
+                           reduction="none")
         ids, counts = greedy_decode_batch(logits, blank_id=blank_id)
-        return {"loss": loss, "ids": ids, "counts": counts}
+        # loss_per_seq lets the Trainer pad the validation tail batch to the
+        # static batch size (one compile) and still average over real rows
+        return {"loss": jnp.mean(per_seq), "loss_per_seq": per_seq,
+                "ids": ids, "counts": counts}
 
     return step
 

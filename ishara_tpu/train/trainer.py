@@ -97,6 +97,12 @@ class Trainer:
                 dominant_hand=mcfg.dominant_hand,
                 qat=tcfg.qat,
             )
+            hist_step = make_fused_ctc_train_step(
+                self.stats, mcfg.frame_len, tcfg.aug_prob, mcfg.blank_id,
+                lr_flip_prob=tcfg.lr_flip_prob,
+                dominant_hand=mcfg.dominant_hand,
+                qat=tcfg.qat, with_grads=True,
+            ) if tcfg.histogram_every_steps > 0 else None
             eval_step = make_fused_ctc_eval_step(
                 self.stats, mcfg.frame_len, mcfg.blank_id,
                 dominant_hand=mcfg.dominant_hand, qat=tcfg.qat,
@@ -136,6 +142,11 @@ class Trainer:
                 self.stats, mcfg.frame_len, tcfg.aug_prob,
                 pad_idx=tokenizer.pad_token, eos_idx=tokenizer.eos_token,
             )
+            hist_step = make_fused_translation_train_step(
+                self.stats, mcfg.frame_len, tcfg.aug_prob,
+                pad_idx=tokenizer.pad_token, eos_idx=tokenizer.eos_token,
+                with_grads=True,
+            ) if tcfg.histogram_every_steps > 0 else None
             eval_step = make_fused_translation_eval_step(
                 self.stats, mcfg.frame_len, self.model,
                 pad_idx=tokenizer.pad_token, eos_idx=tokenizer.eos_token,
@@ -155,10 +166,18 @@ class Trainer:
             self._eval_step = jax.jit(
                 eval_step, in_shardings=(rep, batch_shardings),
             )
+            self._hist_step = jax.jit(
+                hist_step,
+                in_shardings=(rep, batch_shardings, rep),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,),
+            ) if hist_step is not None else None
             self._bsh = bsh
         else:
             self._train_step = jax.jit(train_step, donate_argnums=(0,))
             self._eval_step = jax.jit(eval_step)
+            self._hist_step = (jax.jit(hist_step, donate_argnums=(0,))
+                               if hist_step is not None else None)
             self._bsh = None
 
         self.workdir.mkdir(parents=True, exist_ok=True)
@@ -208,10 +227,24 @@ class Trainer:
              for idx, cap in self._epoch_indices(epoch)),
             depth=2,
         )
+        every = self.cfg.train.histogram_every_steps
         for bi, batch in enumerate(batches):
-            self.state, metrics = self._train_step(
-                self.state, self._device_batch(batch), rng
-            )
+            if self._hist_step is not None and every > 0 and bi % every == 0:
+                # instrumented step: same update, grads also returned —
+                # per-layer grad/param histograms (wandb.watch parity,
+                # integration.py:672)
+                self.state, metrics = self._hist_step(
+                    self.state, self._device_batch(batch), rng
+                )
+                grads = metrics.pop("grads")
+                step = int(self.state.step)
+                self.logger.log_histograms(grads, step=step, prefix="grad")
+                self.logger.log_histograms(self.state.params, step=step,
+                                           prefix="param")
+            else:
+                self.state, metrics = self._train_step(
+                    self.state, self._device_batch(batch), rng
+                )
             if bi % 10 == 0:
                 loss = float(metrics["loss"])
                 # non-finite batches are skipped inside the jitted step
@@ -238,25 +271,34 @@ class Trainer:
 
     def validate(self, max_batches: int | None = None) -> dict:
         bs = self.cfg.train.batch_size
-        all_preds, all_targets, losses = [], [], []
+        all_preds, all_targets = [], []
+        loss_sum, loss_n = 0.0, 0
         n_batches = max(1, -(-len(self.val_data) // bs))  # ceil: cover tail
         if max_batches:
             n_batches = min(n_batches, max_batches)
         for bi in range(n_batches):
-            indices = range(bi * bs, min((bi + 1) * bs, len(self.val_data)))
+            # the tail batch is PADDED to the static batch size by repeating
+            # the last index (one eval-step compile per run instead of one
+            # per distinct tail size — expensive on the slow-compile TPU
+            # tunnel); padded rows are dropped from loss and score below
+            n_real = min((bi + 1) * bs, len(self.val_data)) - bi * bs
+            indices = [min(bi * bs + j, len(self.val_data) - 1)
+                       for j in range(bs)]
             batch = self.val_data.batch(
                 indices, self.tokenizer, max_frames=self.max_raw_frames
             )
             out = self._eval_step(self.state, self._device_batch(batch))
-            losses.append(float(out["loss"]))
-            ids = np.asarray(out["ids"])
-            counts = np.asarray(out["counts"])
+            loss_sum += float(np.sum(
+                np.asarray(out["loss_per_seq"])[:n_real]))
+            loss_n += n_real
+            ids = np.asarray(out["ids"])[:n_real]
+            counts = np.asarray(out["counts"])[:n_real]
             all_preds += [
                 self.tokenizer.decode(i[:c]) for i, c in zip(ids, counts)
             ]
-            all_targets += list(batch["phrases"])
+            all_targets += list(batch["phrases"])[:n_real]
         result = {
-            "val_loss": float(np.mean(losses)),
+            "val_loss": loss_sum / max(loss_n, 1),
             "val_score": normalized_levenshtein(all_preds, all_targets),
             "val_score_maxlen": normalized_levenshtein(
                 all_preds, all_targets, "max_len"),
@@ -294,6 +336,10 @@ class Trainer:
             # schedules are NOT replayed (each epoch's shuffle/buckets are a
             # pure function of (seed, epoch), so the continuation matches an
             # uninterrupted run; tests/test_resume.py)
+            # EarlyStopping bookkeeping (nb4 EarlyStopping(patience,
+            # restore_best_weights)): epoch of the last val improvement;
+            # improvements are only observable at validation epochs
+            last_improve_epoch = self.completed_epochs - 1
             for epoch in range(self.completed_epochs, num_epochs):
                 t0 = time.time()
                 train_loss = self.train_epoch(epoch, rng)
@@ -302,6 +348,7 @@ class Trainer:
                        "epoch_time_s": round(time.time() - t0, 1),
                        # exact on-device skip count (cumulative)
                        "nonfinite_batches": int(self.state.nonfinite_count)}
+                stop_early = False
                 if (epoch + 1) % tcfg.validate_every_epochs == 0 \
                         or epoch == num_epochs - 1:
                     val = self.validate()
@@ -312,16 +359,26 @@ class Trainer:
                         print(f"  pred={p!r} target={t!r}")
                     if val["val_score"] > self.best_score:
                         self.best_score = val["val_score"]
+                        last_improve_epoch = epoch
                         self.ckpt.save(
                             int(self.state.step), self.state,
                             metrics={"val_score": val["val_score"],
                                      **self._resume_meta()},
                             best=True)
+                    elif (tcfg.early_stop_patience > 0
+                          and epoch - last_improve_epoch
+                          >= tcfg.early_stop_patience):
+                        rec["early_stopped"] = True
+                        stop_early = True
                 if (epoch + 1) % tcfg.checkpoint_every_epochs == 0:
                     self.ckpt.save(int(self.state.step), self.state,
                                    metrics=self._resume_meta())
                 self.logger.log(rec, step=int(self.state.step))
                 self.history.append(rec)
+                if stop_early:
+                    break
+            if tcfg.restore_best_at_end:
+                self.restore_best()
         finally:
             # reference parity: a final checkpoint is always written
             self.ckpt.save(int(self.state.step), self.state,
@@ -335,12 +392,31 @@ class Trainer:
                 "best_score": (float(self.best_score)
                                if np.isfinite(self.best_score) else None)}
 
+    def restore_best(self) -> bool:
+        """Load the best-val checkpoint into ``self.state`` (the Keras
+        ``restore_best_weights=True`` behavior, nb4 train_model). Returns
+        False when no best checkpoint exists yet."""
+        try:
+            self.state = self.ckpt.restore(self.state, best=True)
+            return True
+        except FileNotFoundError:
+            return False
+
     def resume(self) -> bool:
         """Restore the latest checkpoint if one exists — params/opt-state/
         step AND the training-loop bookkeeping (completed epoch count, best
         validation score), so ``train()`` continues where the interrupted
         run stopped instead of replaying epoch 0 (the reference writes
-        checkpoints but never reads them back, integration.py:906-958)."""
+        checkpoints but never reads them back, integration.py:906-958).
+
+        Granularity is per-epoch: a SIGTERM checkpoint written mid-epoch
+        restores the mid-epoch params but the interrupted epoch replays from
+        its start, so batches consumed before the interrupt are trained a
+        second time. This double exposure is a deliberate trade-off — exact
+        within-epoch skip lists would pin the data order across restarts for
+        marginal benefit; epoch-boundary checkpoints (the default cadence)
+        are unaffected (tests/test_resume.py proves bit-identical
+        continuation there)."""
         step = self.ckpt.latest_step()
         if step is None:
             return False

@@ -28,6 +28,7 @@ def token_lengths(ids: jnp.ndarray, eos: int, pad: int) -> jnp.ndarray:
 def make_fused_translation_train_step(
     stats, frame_len: int, aug_prob: float = 0.2,
     pad_idx: int = 0, eos_idx: int = 2, conf_weight: float = 0.1,
+    with_grads: bool = False,
 ):
     """Raw-batch translation step: augment + preprocess fused on device, the
     flat [T, 276] output regrouped to [T, 92, 3] (the concat order is
@@ -35,7 +36,8 @@ def make_fused_translation_train_step(
     from ..preprocess.augment import augment
     from ..preprocess.pipeline import frame_mask, preprocess
 
-    base = make_translation_train_step(pad_idx, eos_idx, conf_weight)
+    base = make_translation_train_step(pad_idx, eos_idx, conf_weight,
+                                       with_grads=with_grads)
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
         prep_rng = jax.random.fold_in(jax.random.fold_in(rng, 7), state.step)
@@ -80,16 +82,19 @@ def make_fused_translation_eval_step(stats, frame_len: int, model,
         valid = tgt_out != pad_idx
         logp = jax.nn.log_softmax(pred, axis=-1)
         nll = -jnp.take_along_axis(logp, tgt_out[..., None], axis=-1)[..., 0]
+        per_seq = (jnp.sum(nll * valid, axis=1)
+                   / jnp.maximum(jnp.sum(valid, axis=1), 1))
         loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
         counts = jnp.full((tokens.shape[0],), tokens.shape[1], jnp.int32)
-        return {"loss": loss, "ids": tokens, "counts": counts,
-                "confidence": confidence}
+        return {"loss": loss, "loss_per_seq": per_seq, "ids": tokens,
+                "counts": counts, "confidence": confidence}
 
     return step
 
 
 def make_translation_train_step(pad_idx: int = 0, eos_idx: int = 2,
-                                conf_weight: float = 0.1):
+                                conf_weight: float = 0.1,
+                                with_grads: bool = False):
     def step(state: TrainState, batch: dict, rng: jax.Array):
         """batch: x [B,T,92,3] grouped landmarks, mask [B,T], tokens [B,S]."""
         dropout_rng = jax.random.fold_in(rng, state.step)
@@ -123,6 +128,8 @@ def make_translation_train_step(pad_idx: int = 0, eos_idx: int = 2,
 
         new_state, metrics = _finish_step(state, loss, grads, new_bs)
         metrics["confidence_mean"] = jnp.mean(confidence)
+        if with_grads:
+            metrics["grads"] = grads  # histogram variant (wandb.watch parity)
         return new_state, metrics
 
     return step

@@ -67,6 +67,49 @@ class MetricLogger:
             )
             print(parts, file=sys.stderr, flush=True)
 
+    def log_histograms(self, tree, step: int | None = None,
+                       prefix: str = "grad", bins: int = 20) -> None:
+        """Per-layer value histograms of a parameter/gradient pytree —
+        the reference's ``wandb.watch(model, log_freq=100)`` surface
+        (integration.py:672). JSONL gets compact (counts, lo, hi) records;
+        wandb gets native Histogram objects; TensorBoard gets histogram
+        summaries."""
+        import jax
+        import numpy as np
+
+        flat = {}
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            v = np.asarray(leaf).ravel()
+            if v.size == 0:
+                continue
+            flat[f"{prefix}/{name}"] = v
+        rec: dict = {"t": round(time.time() - self.t0, 3)}
+        if step is not None:
+            rec["step"] = int(step)
+        wb: dict = {}
+        for name, v in flat.items():
+            finite = v[np.isfinite(v)]
+            if finite.size == 0:
+                rec[name] = {"nonfinite": int(v.size)}
+                continue
+            counts, edges = np.histogram(finite, bins=bins)
+            rec[name] = {
+                "counts": counts.tolist(),
+                "lo": float(edges[0]), "hi": float(edges[-1]),
+                "norm": float(np.linalg.norm(finite)),
+            }
+            if self._wandb is not None:
+                wb[name] = self._wandb.Histogram(
+                    np_histogram=(counts, edges))
+            if self._tb is not None and step is not None:
+                self._tb.histogram(name, finite, step)
+        if self._file is not None:
+            self._file.write(json.dumps({"histograms": rec}) + "\n")
+            self._file.flush()
+        if self._wandb is not None and wb:
+            self._wandb.log(wb, step=step)
+
     def close(self):
         if self._file is not None:
             self._file.close()

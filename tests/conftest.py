@@ -24,9 +24,20 @@ if not _USE_TPU:
     jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compile cache: model-test compiles dominate suite wall time.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    "/tmp/ishara_jax_cache_tpu" if _USE_TPU else "/tmp/ishara_jax_cache")
+# The CPU cache is keyed by host CPU signature — XLA:CPU AOT artifacts are
+# machine-feature specific and reloading across hosts risks SIGILL.
+if _USE_TPU:
+    _cache = "/tmp/ishara_jax_cache_tpu"
+else:
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "_graft_entry",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"))
+    _mod = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_mod)
+    _cache = f"/tmp/ishara_jax_cache_{_mod._cpu_signature()}"
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
