@@ -50,9 +50,11 @@ def greedy_translate(
 
 def greedy_translate_cached(
     model, variables, x, mask=None, max_len: int = 64,
-    sos: int = 1, eos: int = 2, pad: int = 0,
+    sos: int = 1, eos: int = 2, pad: int = 0, early_exit: bool = True,
 ):
-    """KV-cached greedy decode; same contract as :func:`greedy_translate`."""
+    """KV-cached greedy decode; same contract as :func:`greedy_translate`.
+    ``early_exit=False`` always runs all max_len steps (fixed-cost mode for
+    benchmarking/batching experiments); the output is identical."""
     memory, confidence = model.apply(
         variables, x, mask, training=False, method=model.encode
     )
@@ -68,8 +70,18 @@ def greedy_translate_cached(
     tokens = jnp.full((B, max_len), pad, jnp.int32).at[:, 0].set(sos)
     finished = jnp.zeros((B,), bool)
 
-    def body(s, carry):
-        tokens, finished, caches = carry
+    # EOS early-exit: a while_loop instead of a fixed fori_loop over
+    # max_len — once every sequence has emitted eos the loop stops, so a
+    # typical short phrase pays ~len(phrase) decoder steps, not 64.
+    # Identical output (post-finish steps only appended pad, which the
+    # buffer is already filled with); shapes stay static.
+    def cond(carry):
+        s, _, finished, _ = carry
+        live = jnp.logical_not(jnp.all(finished)) if early_exit else True
+        return (s < max_len) & live
+
+    def body(carry):
+        s, tokens, finished, caches = carry
         prev = jax.lax.dynamic_slice_in_dim(tokens, s - 1, 1, axis=1)[:, 0]
         logits, caches = model.apply(
             variables, prev, s - 1, caches, cross, mask,
@@ -80,10 +92,10 @@ def greedy_translate_cached(
         tokens = jax.lax.dynamic_update_slice_in_dim(
             tokens, nxt[:, None], s, axis=1)
         finished = finished | (nxt == eos)
-        return tokens, finished, caches
+        return s + 1, tokens, finished, caches
 
-    tokens, _, _ = jax.lax.fori_loop(
-        1, max_len, body, (tokens, finished, caches))
+    _, tokens, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), tokens, finished, caches))
     return tokens, confidence
 
 
@@ -121,8 +133,15 @@ def beam_translate_cached(
     scores = jnp.full((W,), -jnp.inf, jnp.float32).at[0].set(0.0)
     finished = jnp.zeros((W,), bool)
 
-    def body(s, carry):
-        tokens, scores, finished, caches = carry
+    # EOS early-exit (see greedy_translate_cached): stop as soon as every
+    # beam is finished — finished beams only extend with cost-0 pads, so
+    # the result is identical to running all max_len steps
+    def cond(carry):
+        s, _, _, finished, _ = carry
+        return (s < max_len) & jnp.logical_not(jnp.all(finished))
+
+    def body(carry):
+        s, tokens, scores, finished, caches = carry
         prev = jax.lax.dynamic_slice_in_dim(tokens, s - 1, 1, axis=1)[:, 0]
         logits, caches = model.apply(
             variables, prev, s - 1, caches, cross, mask_w,
@@ -140,10 +159,10 @@ def beam_translate_cached(
             tokens, tok[:, None], s, axis=1)
         caches = [(k[parent], v[parent]) for k, v in caches]
         finished = finished[parent] | (tok == eos)
-        return tokens, top, finished, caches
+        return s + 1, tokens, top, finished, caches
 
-    tokens, scores, finished, _ = jax.lax.fori_loop(
-        1, max_len, body, (tokens, scores, finished, caches))
+    _, tokens, scores, finished, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), tokens, scores, finished, caches))
     if length_penalty > 0.0:
         # count generated tokens only: position 0 is always sos (neither pad
         # nor eos), so it is excluded from the per-beam length

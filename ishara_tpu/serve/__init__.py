@@ -7,7 +7,7 @@ from .export import (
     load_serving_program,
 )
 from .streaming import StreamingEncoder, StreamState
-from .translation_engine import TranslationEngine
+from .translation_engine import BatchedTranslationEngine, TranslationEngine
 from .import_weights import (
     diff_variables,
     import_by_structure,
@@ -21,6 +21,7 @@ __all__ = [
     "InferenceEngine",
     "StreamingEncoder",
     "StreamState",
+    "BatchedTranslationEngine",
     "TranslationEngine",
     "export_model",
     "export_serving_program",

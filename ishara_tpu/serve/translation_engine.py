@@ -37,6 +37,7 @@ class TranslationEngine:
         decode: str = "greedy",
         beam_width: int = 4,
         length_penalty: float = 0.0,
+        early_exit: bool = True,
     ):
         """``kv_cache=True`` (default) decodes with per-layer self-attention
         K/V caches and once-computed cross-attention K/V (O(S) decoder work
@@ -57,9 +58,17 @@ class TranslationEngine:
                     model, variables, x, mask, beam_width=beam_width,
                     length_penalty=length_penalty, **kw)
                 return tokens, conf
+        elif kv_cache:
+            import functools
+
+            # early_exit=True (default): the decode while_loop stops at the
+            # first all-eos step, so a typical phrase pays ~len(phrase)
+            # decoder steps instead of max_out. False = fixed 64-step cost
+            # (the round-3 comparable benchmark mode); identical tokens.
+            decode_fn = functools.partial(greedy_translate_cached,
+                                          early_exit=early_exit)
         else:
-            decode_fn = (greedy_translate_cached if kv_cache
-                         else greedy_translate)
+            decode_fn = greedy_translate
 
         def program(variables, raw, length):
             flat = preprocess(raw, length, stats, frame_len)
@@ -95,3 +104,74 @@ class TranslationEngine:
     def predict_text(self, raw_frames: np.ndarray, tokenizer) -> tuple[str, float]:
         tokens, conf = self(raw_frames)
         return tokenizer.decode(tokens), conf
+
+
+class BatchedTranslationEngine:
+    """Fixed-batch throughput engine for the translation family: vmapped
+    preprocess feeding ONE batched KV-cached greedy decode (the whole batch
+    shares the decode while_loop, so EOS early-exit stops at the slowest
+    sequence). The reference never batches its AR validation decode
+    (integration.py:799-868 loops the val loader at eval batch size with
+    full-prefix recompute); this is the production-batching extension,
+    mirroring :class:`ishara_tpu.serve.engine.BatchedEngine` for CTC."""
+
+    def __init__(
+        self,
+        model,
+        variables: dict,
+        batch_size: int = 8,
+        stats: GroupStats | None = None,
+        frame_len: int = lm.FRAME_LEN,
+        max_raw_frames: int = 384,
+        max_out: int = lm.MAX_PHRASE_LENGTH,
+        sos: int = 1,
+        eos: int = 2,
+        pad: int = 0,
+        early_exit: bool = True,
+    ):
+        self.variables = variables
+        self.batch_size = batch_size
+        self.max_raw_frames = max_raw_frames
+        self.max_out = max_out
+        stats = stats or GroupStats.identity()
+
+        def program(variables, raws, lengths):
+            flat = jax.vmap(
+                lambda r, l: preprocess(r, l, stats, frame_len)
+            )(raws, lengths)                               # [B, T, 276]
+            mask = frame_mask(flat)                        # [B, T]
+            x = flat.reshape(batch_size, frame_len, lm.N_LANDMARKS, 3)
+            return greedy_translate_cached(
+                model, variables, x, mask, max_len=max_out,
+                sos=sos, eos=eos, pad=pad, early_exit=early_exit,
+            )
+
+        self._program = program
+        shape = jax.ShapeDtypeStruct(
+            (batch_size, max_raw_frames, lm.N_COLS), jnp.float32)
+        lshape = jax.ShapeDtypeStruct((batch_size,), jnp.int32)
+        self._compiled = (
+            jax.jit(program).lower(variables, shape, lshape).compile()
+        )
+
+    def program_fn(self):
+        return self._program
+
+    def __call__(self, raws: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+        """list of B [T_i, 276] arrays -> (tokens [B, max_out], conf [B])."""
+        if len(raws) != self.batch_size:
+            raise ValueError(
+                f"expected {self.batch_size} sequences, got {len(raws)}")
+        buf = np.zeros(
+            (self.batch_size, self.max_raw_frames, lm.N_COLS), np.float32)
+        lens = np.zeros((self.batch_size,), np.int32)
+        for i, r in enumerate(raws):
+            n = min(r.shape[0], self.max_raw_frames)
+            buf[i, :n] = r[:n]
+            lens[i] = max(n, 1)
+        tokens, conf = self._compiled(self.variables, buf, lens)
+        return np.asarray(tokens), np.asarray(conf)
+
+    def predict_texts(self, raws: list[np.ndarray], tokenizer) -> list[str]:
+        tokens, _ = self(raws)
+        return [tokenizer.decode(t) for t in tokens]

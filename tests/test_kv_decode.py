@@ -152,3 +152,25 @@ def test_translation_engine_beam_mode():
     assert np.isfinite(conf)
     with pytest.raises(ValueError):
         TranslationEngine(model, variables, decode="beam", kv_cache=False)
+
+
+def test_batched_engine_matches_batch1(model_and_vars):
+    """BatchedTranslationEngine (one batched while_loop decode with EOS
+    early-exit) must produce the same tokens as B calls of the batch-1
+    TranslationEngine."""
+    from ishara_tpu.serve import BatchedTranslationEngine, TranslationEngine
+
+    model, variables, _, _ = model_and_vars
+    rng = np.random.default_rng(2)
+    raws = [rng.standard_normal((t, 276)).astype(np.float32)
+            for t in (20, 33)]
+    single = TranslationEngine(model, variables, frame_len=16,
+                               max_raw_frames=48, max_out=12)
+    batched = BatchedTranslationEngine(model, variables, batch_size=2,
+                                       frame_len=16, max_raw_frames=48,
+                                       max_out=12)
+    toks_b, conf_b = batched(raws)
+    for i, raw in enumerate(raws):
+        toks_1, conf_1 = single(raw)
+        np.testing.assert_array_equal(toks_b[i], np.asarray(toks_1))
+        np.testing.assert_allclose(conf_b[i], conf_1, rtol=1e-5, atol=1e-5)
