@@ -91,7 +91,8 @@ class SqueezeformerBlock(nn.Module):
         x = SqueezeformerConvModule(self.dim, self.kernel_size,
                                     self.expansion_factor, dtype=self.dtype,
                                     causal_se=self.causal,
-                                    name="conv")(x, mask=mask)
+                                    name="conv")(x, mask=mask,
+                                                 training=training)
 
         res = x
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm3")(x)

@@ -353,16 +353,46 @@ class FusedFFN(nn.Module):
 
 class SqueezeformerConvModule(nn.Module):
     """LN -> pw Dense(dim*exp) swish -> causal DW conv swish -> pw Dense(dim)
-    -> SE -> +residual (reference ``ConvModule``, nb cell 5)."""
+    -> SE -> +residual (reference ``ConvModule``, nb cell 5).
+
+    ``fused=True`` runs training-mode forwards on TPU as ONE Pallas kernel
+    (:func:`ishara_tpu.ops.conv_kernel.conv_module_residual`) whose backward
+    recomputes the branch from x. Default OFF — a recorded negative: at the
+    flagship geometry ([256, 176, 256] bf16, K=15) the fused fwd+bwd
+    measured 2.08 ms vs 1.25 ms for XLA's composition (round-4 isolated
+    probe, scripts/probe_conv_module.py) — the branch is matmul-light and
+    VPU-heavy, so keeping intermediates in VMEM doesn't pay the way it does
+    for FusedFFN. The knob stays because the balance may flip at larger
+    dim/T (re-probe per RESULTS.md geometry table before enabling). Param
+    tree and checkpoints are identical either way."""
 
     dim: int
     kernel_size: int
     expansion_factor: int = 2
     dtype: jnp.dtype = jnp.float32
     causal_se: bool = False
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, training: bool = False):
+        from ..ops.attention import _on_tpu
+        from ..ops.conv_kernel import conv_module_residual
+
+        if (self.fused and training and _on_tpu() and not self.causal_se
+                and not self.is_initializing()):
+            ln = self.get_variable("params", "norm")
+            p1 = self.get_variable("params", "pw1")
+            dw = self.get_variable("params", "dw")["dwconv"]
+            p2 = self.get_variable("params", "pw2")
+            se = self.get_variable("params", "se")
+            m = (jnp.ones(x.shape[:2], jnp.float32) if mask is None
+                 else mask.astype(jnp.float32))
+            return conv_module_residual(
+                x, m, ln["scale"], ln["bias"],
+                p1["kernel"][0], p1["bias"], dw["kernel"][:, 0, :],
+                p2["kernel"][0], p2["bias"],
+                se["fc1"]["kernel"], se["fc1"]["bias"],
+                se["fc2"]["kernel"], se["fc2"]["bias"], False)
         res = x
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
         x = nn.Conv(self.dim * self.expansion_factor, (1,), dtype=self.dtype,

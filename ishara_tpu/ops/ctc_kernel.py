@@ -122,10 +122,15 @@ def _extend(labels, blank_id):
 
 
 def _chunks(n, cap):
-    # largest divisor of n that is <= cap. gcd(n, cap) only finds divisors
-    # sharing cap's prime factors, so an odd/prime n silently collapsed to
-    # chunk 1 (a T-step grid). n is at most a few thousand; the scan is
-    # trace-time Python.
+    # gcd(n, cap) when nontrivial: the caps are powers of two tuned so the
+    # resulting blocks fit scoped VMEM at the flagship geometry (a plain
+    # largest-divisor-<=cap rule raised tc 16 -> 22 at T=176 and OOMed the
+    # beta kernel's VMEM stack). Only when gcd collapses to 1 (odd/prime n,
+    # which shares no factor with a power-of-two cap) fall back to the
+    # largest divisor of n <= cap so the grid doesn't degrade to n steps.
+    g = math.gcd(n, cap)
+    if g > 1:
+        return g
     best = 1
     for d in range(2, cap + 1):
         if n % d == 0:

@@ -26,6 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SECTIONS = {int(c) for a in sys.argv[1:] for c in a if c.isdigit()} or {1, 2, 3, 4}
 # section 5: dropout-kernel micro-bench (bandwidth vs launch attribution)
+# section 6: dropout-site-class ablation (round 4: which class costs the
+#            full-vs-no-dropout gap)
+# section 7: batch-512 scaling point
 
 
 def log(*a):
@@ -322,6 +325,114 @@ def main():
     ablate("dim=128 (vs 256)", dim=128)
     ablate("8x squeezeformer", variant="squeezeformer", num_squeeze_blocks=8)
     ablate("8x conformer", variant="conformer", num_conform_blocks=8)
+
+    # ---------------- 6. dropout-site-class ablation (round 4) ----------
+    # Attribute the full-vs-no-dropout step gap to individual dropout site
+    # classes. Each probe disables ONE class via flax method interception —
+    # trace-time only, zero production-code changes — on the full-dropout
+    # bf16 flagship step, so (full − probe) is that class's cost.
+    if 6 in SECTIONS:
+        import flax.linen as fnn
+        from ishara_tpu.ops import ffn_kernel as FK
+
+        def skip_call(cls_name, replace):
+            def interceptor(next_fun, args, kwargs, context):
+                if (type(context.module).__name__ == cls_name
+                        and context.method_name == "__call__"):
+                    return replace(*args, **kwargs)
+                return next_fun(*args, **kwargs)
+            return interceptor
+
+        def attn_det(next_fun, args, kwargs, context):
+            if (type(context.module).__name__ == "MultiHeadSelfAttention"
+                    and context.method_name == "__call__"):
+                kwargs = dict(kwargs)
+                kwargs["deterministic"] = True
+            return next_fun(*args, **kwargs)
+
+        full_ms = train_ms(base, "bf16 full (s6 baseline)")
+        with fnn.intercept_methods(skip_call(
+                "RowDropout", lambda x, deterministic=True: x)):
+            train_ms(base, "bf16, RowDropout class off (24+1 sites)")
+        with fnn.intercept_methods(skip_call(
+                "FastDropout", lambda x, deterministic=True: x)):
+            train_ms(base, "bf16, FastDropout class off")
+        with fnn.intercept_methods(skip_call(
+                "FastDropoutAdd",
+                lambda res, h, deterministic=True: res + h)):
+            train_ms(base, "bf16, post-MHSA dropout-add off (4 sites)")
+        with fnn.intercept_methods(attn_det):
+            train_ms(base, "bf16, attention deterministic (8 sites)")
+
+        # FusedFFN kernel vs plain XLA compositions, everything else equal:
+        # swap the kernel entrypoint for (a) an XLA dropout composition and
+        # (b) the dropout-free matmul chain (isolates the pure matmul-
+        # scheduling gap the kernel pays to beat the masks).
+        def xla_ffn_dropout(x, res, w1, b1, w2, b2, seeds, p, res_p,
+                            interpret=False):
+            key = jax.random.fold_in(jax.random.key(0), seeds[0])
+            h = jax.nn.swish(x @ w1 + b1)
+            if p > 0:
+                keep = jax.random.bernoulli(key, 1.0 - p, h.shape)
+                h = h * keep.astype(h.dtype) / (1.0 - p)
+            h = h @ w2 + b2
+            if res_p > 0:
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(key, 1), 1.0 - res_p, h.shape)
+                h = h * keep.astype(h.dtype) / (1.0 - res_p)
+            return (res + h).astype(x.dtype)
+
+        def xla_ffn_nodrop(x, res, w1, b1, w2, b2, seeds, p, res_p,
+                           interpret=False):
+            return (res + (jax.nn.swish(x @ w1 + b1) @ w2 + b2)).astype(
+                x.dtype)
+
+        real = FK.ffn_residual
+        try:
+            FK.ffn_residual = xla_ffn_dropout
+            train_ms(base, "bf16, FusedFFN -> XLA dropout composition")
+            FK.ffn_residual = xla_ffn_nodrop
+            train_ms(base, "bf16, FusedFFN -> XLA matmuls, masks dropped")
+        finally:
+            FK.ffn_residual = real
+
+        nodrop_cfg = dataclasses.replace(base, dropout=0.0, top_dropout=0.0)
+        train_ms(nodrop_cfg, "bf16 no-dropout (s6 floor repro)")
+        del full_ms
+
+    # ---------------- 7. batch-512 scaling point (round 4) --------------
+    if 7 in SECTIONS:
+        B2 = 512
+        ds2 = SyntheticASLFR(num_sequences=B2, seed=3)
+        batch2 = ds2.batch(range(B2), tok, max_frames=96)
+        jb2 = {"raw": jnp.asarray(batch2["raw"]),
+               "lengths": jnp.asarray(batch2["lengths"]),
+               "labels": jnp.asarray(batch2["labels"])}
+
+        def train_ms_b(cfg, label, jbx, Bx):
+            model = IsharaEncoder(cfg)
+            sample = jnp.zeros((1, cfg.frame_len, cfg.input_dim), jnp.float32)
+            state0 = TrainState.create(model, tx, sample)
+            step = make_fused_ctc_train_step(
+                GroupStats.identity(), cfg.frame_len, aug_prob=0.2,
+                blank_id=cfg.blank_id)
+            rng2 = jax.random.key(0)
+
+            def loop(K):
+                def body(s, _):
+                    s2, m = step(s, jbx, rng2)
+                    return s2, m["loss"]
+                compiled = jax.jit(
+                    lambda s: jnp.sum(
+                        jax.lax.scan(body, s, None, length=K)[1])
+                ).lower(state0).compile()
+                return lambda: float(compiled(state0))
+
+            ms = slope(loop, 2, 10, n=3) * 1e3
+            log(f"train step batch{Bx} [{label}]: {ms:.1f} ms "
+                f"({Bx / ms * 1e3:.0f} seqs/s)")
+
+        train_ms_b(base, "bf16 full", jb2, B2)
 
 
 if __name__ == "__main__":
