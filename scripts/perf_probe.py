@@ -384,8 +384,8 @@ def main():
 
         def xla_ffn_nodrop(x, res, w1, b1, w2, b2, seeds, p, res_p,
                            interpret=False):
-            return (res + (jax.nn.swish(x @ w1 + b1) @ w2 + b2)).astype(
-                x.dtype)
+            h = jax.nn.swish(x @ w1 + b1.astype(x.dtype))
+            return res + (h @ w2 + b2.astype(x.dtype))
 
         real = FK.ffn_residual
         try:
@@ -399,6 +399,209 @@ def main():
         nodrop_cfg = dataclasses.replace(base, dropout=0.0, top_dropout=0.0)
         train_ms(nodrop_cfg, "bf16 no-dropout (s6 floor repro)")
         del full_ms
+
+    # ---------------- 8. the missing ~9 ms: combined ablation -----------
+    # Section 6 found the site-class deltas (row 0.4 + fast 0.6 + dropadd
+    # 1.7 + FFN-sites-free 0.5) sum to ~3 ms of the 11.9 ms full-vs-floor
+    # gap. The two hypotheses left: (a) the in-kernel PRNG dropout inside
+    # the flash attention bwd (8 sites, rate 0.4 on the flagship), (b)
+    # cross-site scheduling interactions that single-class ablations hide.
+    if 8 in SECTIONS:
+        import flax.linen as fnn
+        from ishara_tpu.ops import ffn_kernel as FK
+        from ishara_tpu.ops.attention import flash_mhsa
+
+        def skip_call8(cls_names, replace):
+            def interceptor(next_fun, args, kwargs, context):
+                if (type(context.module).__name__ in cls_names
+                        and context.method_name == "__call__"):
+                    return replace[type(context.module).__name__](
+                        *args, **kwargs)
+                return next_fun(*args, **kwargs)
+            return interceptor
+
+        repl = {
+            "RowDropout": lambda x, deterministic=True: x,
+            "FastDropout": lambda x, deterministic=True: x,
+            "FastDropoutAdd": lambda res, h, deterministic=True: res + h,
+        }
+
+        def xla_ffn_nodrop8(x, res, w1, b1, w2, b2, seeds, p, res_p,
+                            interpret=False):
+            h = jax.nn.swish(x @ w1 + b1.astype(x.dtype))
+            return res + (h @ w2 + b2.astype(x.dtype))
+
+        real = FK.ffn_residual
+        try:
+            FK.ffn_residual = xla_ffn_nodrop8
+            with fnn.intercept_methods(
+                    skip_call8(set(repl), repl)):
+                train_ms(base, "bf16, ALL classes off except attn dropout")
+        finally:
+            FK.ffn_residual = real
+
+        # flash attention fwd+bwd microbench: dropout 0.4 vs 0.0 at the
+        # flagship site geometry [256, 8, 176, 32] — x8 sites in the step
+        rngm = np.random.default_rng(0)
+        qkv8 = jnp.asarray(
+            rngm.standard_normal((3, 256, 8, 176, 32)), jnp.bfloat16)
+        bias8 = jnp.zeros((256, 176), jnp.float32)
+        seed8 = jnp.asarray([17], jnp.int32)
+
+        for rate in (0.4, 0.0):
+            def floss(q0, rate=rate):
+                return jnp.sum(flash_mhsa(
+                    q0, qkv8[1], qkv8[2], bias8, seed8,
+                    scale=256 ** -0.5, dropout_rate=rate)
+                    .astype(jnp.float32))
+
+            fgrad = jax.grad(floss)
+
+            def fmake(K):
+                def body(c, _):
+                    g = fgrad(qkv8[0] + c.astype(jnp.bfloat16))
+                    return jnp.sum(g.astype(jnp.float32)) * 1e-20, None
+                compiled = jax.jit(
+                    lambda: jax.lax.scan(body, jnp.float32(0), None,
+                                         length=K)[0]
+                ).lower().compile()
+                return lambda: float(compiled())
+
+            ms = slope(fmake, 3, 9, n=3) * 1e3
+            log(f"probe [flash fwd+bwd rate={rate}]: {ms:.3f} ms "
+                f"(x8 sites = {8 * ms:.1f} ms/step)")
+
+    # ---------------- 9. seed-plumbing isolation (round 4) --------------
+    # Section 8: combined-off = 62.5 vs floor 56.2, while the in-kernel
+    # flash dropout micro-delta is only ~1.5 ms — so ~4.8 ms rides with the
+    # per-site seed derivations (jax.random.randint(make_rng(...))) or
+    # scheduling interactions. Isolate: (9a) combined-off + flash forced
+    # rate-0 + randint stubbed to a constant (keeps flax fold_ins only);
+    # (9b) combined-off + randint stubbed (in-kernel attn dropout kept).
+    if 9 in SECTIONS:
+        import flax.linen as fnn
+        from ishara_tpu.ops import attention as ATT
+        from ishara_tpu.ops import ffn_kernel as FK
+
+        repl9 = {
+            "RowDropout": lambda x, deterministic=True: x,
+            "FastDropout": lambda x, deterministic=True: x,
+            "FastDropoutAdd": lambda res, h, deterministic=True: res + h,
+        }
+
+        def skip9(next_fun, args, kwargs, context):
+            name = type(context.module).__name__
+            if name in repl9 and context.method_name == "__call__":
+                return repl9[name](*args, **kwargs)
+            return next_fun(*args, **kwargs)
+
+        def xla_ffn_nodrop9(x, res, w1, b1, w2, b2, seeds, p, res_p,
+                            interpret=False):
+            h = jax.nn.swish(x @ w1 + b1.astype(x.dtype))
+            return res + (h @ w2 + b2.astype(x.dtype))
+
+        real_ffn = FK.ffn_residual
+        real_flash = ATT.flash_mhsa
+        real_randint = jax.random.randint
+
+        def stub_randint(key, shape, minval, maxval, dtype=jnp.int32):
+            return jnp.zeros(shape, dtype)
+
+        def flash_rate0(q, k, v, bias, seed=None, scale=1.0,
+                        interpret=False, dropout_rate=0.0):
+            return real_flash(q, k, v, bias, None, scale=scale,
+                              interpret=interpret, dropout_rate=0.0)
+
+        try:
+            FK.ffn_residual = xla_ffn_nodrop9
+            jax.random.randint = stub_randint
+            ATT.flash_mhsa = flash_rate0
+            with fnn.intercept_methods(skip9):
+                train_ms(base, "bf16 9a: all off + flash rate0 + "
+                               "randint stubbed (fold_ins only)")
+            ATT.flash_mhsa = real_flash
+            with fnn.intercept_methods(skip9):
+                train_ms(base, "bf16 9b: all off + randint stubbed "
+                               "(attn in-kernel dropout kept)")
+        finally:
+            FK.ffn_residual = real_ffn
+            ATT.flash_mhsa = real_flash
+            jax.random.randint = real_randint
+
+    # ---------------- 10. paired attribution (round 4) ------------------
+    # Sections 6/8/9 ran across ~1 h and the numbers drifted (9a measured
+    # 60.6 then 72.1 for the same program class). Per-row comparisons are
+    # only valid back-to-back in ONE process: re-measure the four key rows
+    # paired — full, floor, everything-off (corrected bf16 stub), and
+    # FusedFFN->XLA-nodrop — interleaved twice so drift shows up as
+    # disagreement between the repeats.
+    if 10 in SECTIONS:
+        import flax.linen as fnn
+        from ishara_tpu.ops import attention as ATT
+        from ishara_tpu.ops import ffn_kernel as FK
+
+        repl10 = {
+            "RowDropout": lambda x, deterministic=True: x,
+            "FastDropout": lambda x, deterministic=True: x,
+            "FastDropoutAdd": lambda res, h, deterministic=True: res + h,
+        }
+
+        def skip10(next_fun, args, kwargs, context):
+            name = type(context.module).__name__
+            if name in repl10 and context.method_name == "__call__":
+                return repl10[name](*args, **kwargs)
+            return next_fun(*args, **kwargs)
+
+        def xla_ffn_nodrop10(x, res, w1, b1, w2, b2, seeds, p, res_p,
+                             interpret=False):
+            h = jax.nn.swish(x @ w1 + b1.astype(x.dtype))
+            return res + (h @ w2 + b2.astype(x.dtype))
+
+        real_ffn = FK.ffn_residual
+        real_flash = ATT.flash_mhsa
+        real_randint = jax.random.randint
+
+        def stub_randint10(key, shape, minval, maxval, dtype=jnp.int32):
+            return jnp.zeros(shape, dtype)
+
+        def flash_rate0_10(q, k, v, bias, seed=None, scale=1.0,
+                           interpret=False, dropout_rate=0.0):
+            return real_flash(q, k, v, bias, None, scale=scale,
+                              interpret=interpret, dropout_rate=0.0)
+
+        nodrop10 = dataclasses.replace(base, dropout=0.0, top_dropout=0.0)
+
+        def row_full():
+            return train_ms(base, "s10 full")
+
+        def row_floor():
+            return train_ms(nodrop10, "s10 no-dropout floor")
+
+        def row_alloff():
+            try:
+                FK.ffn_residual = xla_ffn_nodrop10
+                jax.random.randint = stub_randint10
+                ATT.flash_mhsa = flash_rate0_10
+                with fnn.intercept_methods(skip10):
+                    return train_ms(base, "s10 all-off (bf16 stub)")
+            finally:
+                FK.ffn_residual = real_ffn
+                ATT.flash_mhsa = real_flash
+                jax.random.randint = real_randint
+
+        def row_ffn_swap():
+            try:
+                FK.ffn_residual = xla_ffn_nodrop10
+                return train_ms(base, "s10 FusedFFN->XLA-nodrop (bf16)")
+            finally:
+                FK.ffn_residual = real_ffn
+
+        for rep in (1, 2):
+            log(f"--- s10 repeat {rep} ---")
+            row_full()
+            row_floor()
+            row_alloff()
+            row_ffn_swap()
 
     # ---------------- 7. batch-512 scaling point (round 4) --------------
     if 7 in SECTIONS:
