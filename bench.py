@@ -261,10 +261,15 @@ def main():
         except Exception as e:  # pragma: no cover
             log(f"conv_hybrid {name} serving failed:", repr(e))
 
-    # --- translation family (encoder-decoder, KV-cached greedy decode) ---
+    # --- translation family (encoder-decoder, KV-cached greedy decode):
+    # fixed 64-step cost (round-3 comparable), EOS early-exit (typical
+    # phrase), and batched throughput ---
     try:
         from ishara_tpu.models.seq2seq import ASLTranslationModel
-        from ishara_tpu.serve.translation_engine import TranslationEngine
+        from ishara_tpu.serve.translation_engine import (
+            BatchedTranslationEngine,
+            TranslationEngine,
+        )
 
         tmodel = ASLTranslationModel(
             num_classes=62, feature_dim=208, num_layers=2,
@@ -274,16 +279,53 @@ def main():
         tm0 = jnp.ones((1, T), bool)
         tvars = tmodel.init(jax.random.key(2), tx0, tm0,
                             jnp.zeros((1, 4), jnp.int32))
+        textract = lambda out: jnp.sum(out[0]).astype(jnp.float32) + out[1]
+        # Three batch-1 variants: fixed 64-step fori_loop (round-3
+        # comparable), the EOS early-exit while_loop at max_out=64 (random
+        # init rarely emits EOS, so this is the worst case + while-loop
+        # overhead check), and the early-exit loop capped at 18 steps — the
+        # cost an 18-token (typical train.csv) phrase actually pays, since
+        # the while_loop body is identical and exits at the EOS step.
+        variants = (("fixed64", False, 64, "translation_kv_ms"),
+                    ("early_exit64", True, 64, "translation_early_exit_ms"),
+                    ("typical18", True, 18, "translation_typical_phrase_ms"))
+        for name, early, mout, key in variants:
+            t0 = time.perf_counter()
+            teng = TranslationEngine(tmodel, tvars, frame_len=T,
+                                     max_raw_frames=384, kv_cache=True,
+                                     early_exit=early, max_out=mout)
+            log(f"compile(translation kv {name}): "
+                f"{time.perf_counter() - t0:.1f}s")
+            tms, _ = slope_measure(
+                teng.program_fn(), teng.variables, db, dl, lo=8, hi=72,
+                reps=5, extract=textract)
+            extra[key] = round(tms, 4) if tms else None
+            log(f"on-chip batch-1 per-seq [translation kv-cached, {name} "
+                f"greedy]: " + (f"{tms:.3f} ms" if tms else "unmeasurable"))
+        # batched throughput: B sequences share one early-exit decode loop
+        TB = 32
         t0 = time.perf_counter()
-        teng = TranslationEngine(tmodel, tvars, frame_len=T,
-                                 max_raw_frames=384, kv_cache=True)
-        log(f"compile(translation kv): {time.perf_counter() - t0:.1f}s")
-        tms, _ = slope_measure(
-            teng.program_fn(), teng.variables, db, dl, lo=8, hi=72, reps=5,
-            extract=lambda out: jnp.sum(out[0]).astype(jnp.float32) + out[1])
-        extra["translation_kv_ms"] = round(tms, 4) if tms else None
-        log(f"on-chip batch-1 per-seq [translation kv-cached, 64-step "
-            f"greedy]: " + (f"{tms:.3f} ms" if tms else "unmeasurable"))
+        beng = BatchedTranslationEngine(tmodel, tvars, batch_size=TB,
+                                        frame_len=T, max_raw_frames=384)
+        log(f"compile(translation batched {TB}): "
+            f"{time.perf_counter() - t0:.1f}s")
+        # db reshaped into batches of TB: [N/TB, TB, 384, 276]
+        nb = db.shape[0] // TB
+        bdb = db[: nb * TB].reshape(nb, TB, *db.shape[1:])
+        bdl = dl[: nb * TB].reshape(nb, TB)
+        bms, _ = slope_measure(
+            beng.program_fn(), beng.variables, bdb, bdl, lo=4, hi=36,
+            reps=5,
+            extract=lambda out: (jnp.sum(out[0]) + jnp.sum(out[1]))
+            .astype(jnp.float32))
+        if bms:
+            extra["translation_batched_seqs_per_sec"] = round(TB / bms * 1e3)
+            extra["translation_batched_ms_per_batch"] = round(bms, 3)
+            log(f"translation batched (B={TB}, early-exit): {bms:.3f} ms/"
+                f"batch = {TB / bms * 1e3:.0f} seqs/s")
+        else:
+            extra["translation_batched_seqs_per_sec"] = None
+            log("translation batched: unmeasurable")
     except Exception as e:  # pragma: no cover
         log("translation serving failed:", repr(e))
 

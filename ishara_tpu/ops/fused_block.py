@@ -428,7 +428,7 @@ _GROUP_BODIES = {
 
 
 def fused_conv_group_stack(x, mask, groups, inner: str, *, num_heads: int,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None, dma: bool = False):
     """Run N (conv-stack -> attention-block) groups as ONE grid-pipelined
     kernel. ``groups`` is a list of (conv_args_tuple, inner_args) built by
     the caller; ``inner`` selects the attention-block body. All groups must
@@ -436,8 +436,9 @@ def fused_conv_group_stack(x, mask, groups, inner: str, *, num_heads: int,
     tuple for the whole encoder)."""
     if interpret is None:
         interpret = not _on_tpu()
-    return _stack_call(_GROUP_BODIES[inner], x, mask, groups, num_heads,
-                       interpret)
+    call = _stack_call_dma if dma else _stack_call
+    return call(_GROUP_BODIES[inner], x, mask, groups, num_heads,
+                interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -502,27 +503,118 @@ def _stack_call(body, x, mask, per_block_args, num_heads, interpret):
     )(jnp.asarray(x), maskrow, *stacked)
 
 
+# --- manual double-buffered weight DMA variant ------------------------------
+#
+# Round-2/3 finding (RESULTS.md "Identified lever"): in the automatic grid
+# pipeline above, the per-step weight DMA does NOT overlap compute — a
+# weight-touching-but-no-compute stack kernel still costs 44.5 of 84 us at
+# the expansion-4 probe geometry, and neither constant-out-index flushing nor
+# dimension_semantics tuning moved it. This variant takes scheduling away
+# from Mosaic: the stacked weights stay in HBM (memory_space=ANY) and the
+# kernel itself issues pltpu.make_async_copy of block i+1's weights into the
+# free half of a VMEM double buffer while block i computes from the other
+# half. The compute body is emitted twice (once per buffer slot) because
+# Mosaic has no dynamic leading-index VMEM loads.
+
+def _stack_kernel_dma(body, num_heads, dim, treedef, nblocks, nleaves,
+                      x_ref, mask_ref, *rest):
+    wrefs = rest[:nleaves]                     # HBM-resident stacked weights
+    o_ref = rest[nleaves]
+    acc = rest[nleaves + 1]
+    bufs = rest[nleaves + 2: nleaves + 2 + nleaves]  # [2, ...] VMEM doubles
+    sem = rest[-1]                             # DMA semaphore array [2]
+    i = pl.program_id(0)
+
+    def dmas(b, s):
+        return [
+            pltpu.make_async_copy(w.at[b], buf.at[s], sem.at[s])
+            for w, buf in zip(wrefs, bufs)
+        ]
+
+    @pl.when(i == 0)
+    def _():
+        acc[:] = x_ref[:].astype(jnp.float32)
+        for d in dmas(0, 0):                   # prologue: block 0, slot 0
+            d.start()
+
+    for d in dmas(i, i % 2):                   # block i landed in slot i%2
+        d.wait()
+
+    @pl.when(i + 1 < nblocks)
+    def _():
+        for d in dmas(i + 1, (i + 1) % 2):     # prefetch next block's weights
+            d.start()
+
+    maskf = mask_ref[:].astype(jnp.float32)
+
+    def compute(slot):                          # slot is a PYTHON int
+        args = jax.tree_util.tree_unflatten(
+            treedef, [buf[slot] for buf in bufs])
+        out = body(num_heads, dim, acc[:], maskf, *args)
+        acc[:] = out
+        o_ref[:] = out.astype(o_ref.dtype)
+
+    @pl.when(i % 2 == 0)
+    def _():
+        compute(0)
+
+    @pl.when(i % 2 == 1)
+    def _():
+        compute(1)
+
+
+def _stack_call_dma(body, x, mask, per_block_args, num_heads, interpret):
+    n = len(per_block_args)
+    flats = [jax.tree_util.tree_flatten(a) for a in per_block_args]
+    treedef = flats[0][1]
+    stacked = tuple(jnp.stack(ws) for ws in zip(*(f for f, _ in flats)))
+    maskrow = jnp.asarray(mask, jnp.float32)[None, :]
+    dim = x.shape[-1]
+    const = lambda *_: (0, 0)  # noqa: E731
+
+    kernel = functools.partial(_stack_kernel_dma, body, num_heads, dim,
+                               treedef, n, len(stacked))
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[pl.BlockSpec(x.shape, const, memory_space=pltpu.VMEM),
+                  pl.BlockSpec(maskrow.shape, const,
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in stacked],
+        out_specs=pl.BlockSpec(x.shape, const, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((x.shape[0], dim), jnp.float32)]
+        + [pltpu.VMEM((2,) + w.shape[1:], w.dtype) for w in stacked]
+        + [pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(jnp.asarray(x), maskrow, *stacked)
+
+
 def fused_squeezeformer_stack(x, mask, params_list, *, num_heads: int,
                               interpret: bool | None = None,
-                              compute_dtype=jnp.bfloat16):
+                              compute_dtype=jnp.bfloat16, dma: bool = False):
     """Run ``len(params_list)`` SqueezeformerBlocks as one grid-pipelined
-    kernel. Semantics identical to chaining :func:`fused_squeezeformer_block`."""
+    kernel. Semantics identical to chaining :func:`fused_squeezeformer_block`.
+    ``dma=True`` switches to the manual double-buffered weight-DMA schedule
+    (same numerics; see :func:`_stack_call_dma`)."""
     if interpret is None:
         interpret = not _on_tpu()
     args = [_squeeze_args(p, compute_dtype) for p in params_list]
-    return _stack_call(_squeeze_body, x, mask, args, num_heads, interpret)
+    call = _stack_call_dma if dma else _stack_call
+    return call(_squeeze_body, x, mask, args, num_heads, interpret)
 
 
 def fused_conformer_stack(x, mask, params_list, stats_list, *, num_heads: int,
                           interpret: bool | None = None,
-                          compute_dtype=jnp.bfloat16):
+                          compute_dtype=jnp.bfloat16, dma: bool = False):
     """Run ``len(params_list)`` ConformerBlocks as one grid-pipelined
     kernel (eval mode, BN moving stats)."""
     if interpret is None:
         interpret = not _on_tpu()
     args = [_conformer_args(p, s, compute_dtype)
             for p, s in zip(params_list, stats_list)]
-    return _stack_call(_conformer_body, x, mask, args, num_heads, interpret)
+    call = _stack_call_dma if dma else _stack_call
+    return call(_conformer_body, x, mask, args, num_heads, interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -530,7 +622,7 @@ def fused_conformer_stack(x, mask, params_list, stats_list, *, num_heads: int,
 # ---------------------------------------------------------------------------
 
 def fused_encoder_forward(cfg, variables, x, *, interpret: bool | None = None,
-                          compute_dtype=jnp.bfloat16):
+                          compute_dtype=jnp.bfloat16, dma: bool = False):
     """Batch-1 eval forward of an IsharaEncoder via fused block kernels.
 
     x [T, input_dim] (preprocessed frames). Stem/top stay plain jnp (a
@@ -591,7 +683,7 @@ def fused_encoder_forward(cfg, variables, x, *, interpret: bool | None = None,
             [params[f"squeezeformer_{i}"]
              for i in range(cfg.num_squeeze_blocks)],
             num_heads=cfg.num_heads, interpret=interpret,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, dma=dma)
     if cfg.variant in ("conformer", "hybrid") and cfg.num_conform_blocks:
         h = fused_conformer_stack(
             h, mask,
@@ -600,7 +692,7 @@ def fused_encoder_forward(cfg, variables, x, *, interpret: bool | None = None,
             [stats[f"conformer_{i}"]
              for i in range(cfg.num_conform_blocks)],
             num_heads=cfg.num_heads, interpret=interpret,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, dma=dma)
 
     def conv_args(tag):
         return tuple(
@@ -617,7 +709,8 @@ def fused_encoder_forward(cfg, variables, x, *, interpret: bool | None = None,
                 [(conv_args(f"squeeze{i}"),
                   _squeeze_args(params[f"squeezeformer_{i}"], compute_dtype))
                  for i in range(cfg.num_squeeze_blocks)],
-                "squeezeformer", num_heads=cfg.num_heads, interpret=interpret)
+                "squeezeformer", num_heads=cfg.num_heads,
+                interpret=interpret, dma=dma)
         if cfg.num_conform_blocks:
             h = fused_conv_group_stack(
                 h, mask,
@@ -625,7 +718,8 @@ def fused_encoder_forward(cfg, variables, x, *, interpret: bool | None = None,
                   _conformer_args(params[f"conformer_{i}"],
                                   stats[f"conformer_{i}"], compute_dtype))
                  for i in range(cfg.num_conform_blocks)],
-                "conformer", num_heads=cfg.num_heads, interpret=interpret)
+                "conformer", num_heads=cfg.num_heads, interpret=interpret,
+                dma=dma)
     if cfg.variant == "conv_transformer":
         h = fused_conv_group_stack(
             h, mask,

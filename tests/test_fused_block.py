@@ -197,3 +197,58 @@ def test_stack_matches_chained_blocks(rng, n):
                                 compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("n", [1, 3])
+def test_dma_stack_matches_auto_stack(rng, n):
+    """The manual double-buffered weight-DMA stack == the automatic grid
+    pipeline (same bodies, different weight movement)."""
+    from ishara_tpu.ops.fused_block import (
+        fused_conformer_stack,
+        fused_squeezeformer_stack,
+    )
+
+    T, dim, heads, k = 24, 64, 4, 15
+    x = _rand_x(rng, T, dim)
+    mask = jnp.asarray(rng.random(T) > 0.2)
+    sq = SqueezeformerBlock(dim, heads, 2, k, dropout=0.0)
+    params = [sq.init(jax.random.key(i), x[None], mask[None], False)["params"]
+              for i in range(n)]
+    want = fused_squeezeformer_stack(x, mask, params, num_heads=heads,
+                                     interpret=True,
+                                     compute_dtype=jnp.float32)
+    got = fused_squeezeformer_stack(x, mask, params, num_heads=heads,
+                                    interpret=True,
+                                    compute_dtype=jnp.float32, dma=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    cf = ConformerBlock(dim, heads, 2, 15, attn_dropout=0.0, drop_rate=0.0)
+    vs = [cf.init(jax.random.key(10 + i), x[None], mask[None], False)
+          for i in range(n)]
+    want = fused_conformer_stack(x, mask, [v["params"] for v in vs],
+                                 [v["batch_stats"] for v in vs],
+                                 num_heads=heads, interpret=True,
+                                 compute_dtype=jnp.float32)
+    got = fused_conformer_stack(x, mask, [v["params"] for v in vs],
+                                [v["batch_stats"] for v in vs],
+                                num_heads=heads, interpret=True,
+                                compute_dtype=jnp.float32, dma=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_dma_encoder_forward_parity(rng):
+    """fused_encoder_forward(dma=True) == the flax forward (hybrid)."""
+    cfg = EncoderConfig(dim=64, variant="hybrid", num_squeeze_blocks=2,
+                        num_conform_blocks=2, num_heads=4, frame_len=24,
+                        dropout=0.0, top_dropout=0.0)
+    model = build_model(cfg)
+    x = _rand_x(rng, cfg.frame_len, cfg.input_dim)
+    variables = model.init(jax.random.key(0), jnp.asarray(x)[None])
+    want = model.apply(variables, jnp.asarray(x)[None], training=False)[0]
+    got = fused_encoder_forward(cfg, variables, jnp.asarray(x),
+                                interpret=True,
+                                compute_dtype=jnp.float32, dma=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
