@@ -198,15 +198,21 @@ def main():
     # wide lo->hi spread: slope noise ~ RT-jitter/(hi-lo); at 272 the
     # per-seq jitter measured ~+-10 us, 768 chained runs cut it to ~+-3 us
     lo, hi = 16, 784
-    paths = {"xla_f32": False, "fused_bf16": True, "fused_int8": "int8"}
+    # *_dma paths use the manual double-buffered weight prefetch in the
+    # stacked kernels (round-4; measured ~4-7% under the Mosaic-pipelined
+    # default in paired probes — recorded per run since the serving floor
+    # drifts between sessions)
+    paths = {"xla_f32": (False, False), "fused_bf16": (True, False),
+             "fused_int8": ("int8", False), "fused_bf16_dma": (True, True),
+             "fused_int8_dma": ("int8", True)}
     serving: dict = {}
     best_path, best_ms = None, np.inf
     first_engine = None
-    for name, fused in paths.items():
+    for name, (fused, dma) in paths.items():
         try:
             t0 = time.perf_counter()
             eng = InferenceEngine(model, variables, max_raw_frames=384,
-                                  fused=fused)
+                                  fused=fused, dma=dma)
             log(f"compile({name}): {time.perf_counter() - t0:.1f}s")
             if first_engine is None:
                 first_engine = eng

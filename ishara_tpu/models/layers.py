@@ -198,16 +198,38 @@ class MultiHeadSelfAttention(nn.Module):
 
         rate = 0.0 if deterministic else self.dropout
         # in-kernel dropout needs the TPU PRNG; interpret mode (CPU tests)
-        # falls back to einsum when dropout is active. On TPU the kernel is
-        # automatically preferred in TRAINING mode (not deterministic), with
-        # or without dropout: with dropout it avoids materializing
-        # [B, H, T, T] for the mask (class docstring), and even dropout-free
-        # the fwd+bwd is ~8% faster because the einsum backward writes the
-        # probabilities to HBM while the kernel recomputes them blockwise
-        # (RESULTS.md round 3: 66.2 -> 60.9 ms batch-256 step). Eval keeps
-        # einsum — measured 3x faster at serving sizes (T=176).
+        # falls back to einsum when dropout is active. Path selection reads
+        # the MEASURED table in ops/selection.py (nearest probed geometry;
+        # RESULTS.md round-4 "Geometry sweep"): at the flagship regime the
+        # flash kernel wins training-mode fwd+bwd with dropout (avoids
+        # materializing [B, H, T, T] for the mask, 102.6 -> 80.6 ms/step)
+        # AND without (the einsum backward writes the probabilities to HBM,
+        # 66.2 -> 60.9 ms); eval keeps einsum (3x faster at T=176). The
+        # single-block kernel holds [T, T] scores in VMEM — hard-capped at
+        # T<=512 regardless of table (beyond that only "flash_blocked" /
+        # "einsum" are eligible).
+        from ..ops import selection
+
+        if not deterministic and _on_tpu():
+            path = selection.train_attention(self.dim, T,
+                                             dropout_active=rate > 0.0)
+        else:
+            path = selection.serve_attention(self.dim, T) if _on_tpu() \
+                else "einsum"
+        if path == "flash" and T > 512:
+            path = "einsum"
+        if path == "flash_blocked" and rate == 0.0 and _on_tpu():
+            from ..ops.attention_blocked import flash_mhsa_blocked
+
+            bias = (jnp.where(mask, 0.0, NEG).astype(jnp.float32)
+                    if mask is not None
+                    else jnp.zeros((B, T), jnp.float32))
+            out = flash_mhsa_blocked(q, k, v, bias, scale)
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, self.dim)
+            return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                            name="proj")(out)
         flash = self.use_flash or (
-            not deterministic and _on_tpu() and T <= 384)
+            not deterministic and _on_tpu() and path == "flash")
         if flash and (_on_tpu() or rate == 0.0):
             bias = (
                 jnp.where(mask, 0.0, NEG).astype(jnp.float32)
@@ -331,9 +353,14 @@ class FusedFFN(nn.Module):
         d1 = nn.Dense(self.dim, dtype=self.dtype, name="fc2")
         # Fuse only when a dropout site is active: without dropout XLA's
         # composition is already optimal (no mask kernels to pay for) and
-        # measured 8 ms/step faster than the hand-written matmuls.
+        # measured 8 ms/step faster than the hand-written matmuls. The
+        # dropout-active choice reads the measured geometry table
+        # (ops/selection.py; kernel wins at the flagship regime).
+        from ..ops import selection
+
         dropping = self.dropout > 0.0 or self.res_rate > 0.0
         if (not deterministic and dropping and _on_tpu()
+                and selection.ffn_fused_when_dropout(self.dim, x.shape[1])
                 and not self.is_initializing()):
             p0 = self.get_variable("params", "fc1")
             p1 = self.get_variable("params", "fc2")
@@ -371,14 +398,20 @@ class SqueezeformerConvModule(nn.Module):
     expansion_factor: int = 2
     dtype: jnp.dtype = jnp.float32
     causal_se: bool = False
-    fused: bool = False
+    # None = read the measured geometry table (ops/selection.py); True/False
+    # force. The table says False everywhere measured so far (round-4
+    # negative at the flagship geometry).
+    fused: bool | None = None
 
     @nn.compact
     def __call__(self, x, mask=None, training: bool = False):
+        from ..ops import selection
         from ..ops.attention import _on_tpu
         from ..ops.conv_kernel import conv_module_residual
 
-        if (self.fused and training and _on_tpu() and not self.causal_se
+        fused = (selection.conv_module_fused(self.dim, x.shape[1])
+                 if self.fused is None else self.fused)
+        if (fused and training and _on_tpu() and not self.causal_se
                 and not self.is_initializing()):
             ln = self.get_variable("params", "norm")
             p1 = self.get_variable("params", "pw1")

@@ -516,8 +516,14 @@ def _stack_call(body, x, mask, per_block_args, num_heads, interpret):
 # half. The compute body is emitted twice (once per buffer slot) because
 # Mosaic has no dynamic leading-index VMEM loads.
 
+def _sublane(dt) -> int:
+    """Second-to-last-dim tile size for ``dt`` on TPU ((8,128) f32,
+    (16,128) bf16, (32,128) int8)."""
+    return {4: 8, 2: 16, 1: 32}[jnp.dtype(dt).itemsize]
+
+
 def _stack_kernel_dma(body, num_heads, dim, treedef, nblocks, nleaves,
-                      x_ref, mask_ref, *rest):
+                      shapes, x_ref, mask_ref, *rest):
     wrefs = rest[:nleaves]                     # HBM-resident stacked weights
     o_ref = rest[nleaves]
     acc = rest[nleaves + 1]
@@ -548,8 +554,12 @@ def _stack_kernel_dma(body, num_heads, dim, treedef, nblocks, nleaves,
     maskf = mask_ref[:].astype(jnp.float32)
 
     def compute(slot):                          # slot is a PYTHON int
-        args = jax.tree_util.tree_unflatten(
-            treedef, [buf[slot] for buf in bufs])
+        # full-tile (aligned) load of each double buffer, then value-slice
+        # back to the leaf's logical shape (leaves were padded to the dtype
+        # tiling so the HBM->VMEM DMA slices stay tile-aligned)
+        leaves = [buf[slot][: r, : c]
+                  for buf, (r, c) in zip(bufs, shapes)]
+        args = jax.tree_util.tree_unflatten(treedef, leaves)
         out = body(num_heads, dim, acc[:], maskf, *args)
         acc[:] = out
         o_ref[:] = out.astype(o_ref.dtype)
@@ -567,27 +577,39 @@ def _stack_call_dma(body, x, mask, per_block_args, num_heads, interpret):
     n = len(per_block_args)
     flats = [jax.tree_util.tree_flatten(a) for a in per_block_args]
     treedef = flats[0][1]
-    stacked = tuple(jnp.stack(ws) for ws in zip(*(f for f, _ in flats)))
+    stacked = [jnp.stack(ws) for ws in zip(*(f for f, _ in flats))]
+    # Mosaic DMA slices must be tile-aligned in the trailing two dims: pad
+    # every (2-D per-block) leaf up to its dtype tiling; the kernel slices
+    # the logical shape back out of the loaded buffer.
+    shapes = tuple(w.shape[1:] for w in stacked)
+    padded = []
+    for w in stacked:
+        assert w.ndim == 3, f"per-block leaves must be 2-D, got {w.shape}"
+        sl = _sublane(w.dtype)
+        rp = -(-w.shape[1] // sl) * sl - w.shape[1]
+        cp = -(-w.shape[2] // 128) * 128 - w.shape[2]
+        padded.append(jnp.pad(w, ((0, 0), (0, rp), (0, cp)))
+                      if rp or cp else w)
     maskrow = jnp.asarray(mask, jnp.float32)[None, :]
     dim = x.shape[-1]
     const = lambda *_: (0, 0)  # noqa: E731
 
     kernel = functools.partial(_stack_kernel_dma, body, num_heads, dim,
-                               treedef, n, len(stacked))
+                               treedef, n, len(stacked), shapes)
     return pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=[pl.BlockSpec(x.shape, const, memory_space=pltpu.VMEM),
                   pl.BlockSpec(maskrow.shape, const,
                                memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY) for _ in stacked],
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in padded],
         out_specs=pl.BlockSpec(x.shape, const, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         scratch_shapes=[pltpu.VMEM((x.shape[0], dim), jnp.float32)]
-        + [pltpu.VMEM((2,) + w.shape[1:], w.dtype) for w in stacked]
+        + [pltpu.VMEM((2,) + w.shape[1:], w.dtype) for w in padded]
         + [pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
-    )(jnp.asarray(x), maskrow, *stacked)
+    )(jnp.asarray(x), maskrow, *padded)
 
 
 def fused_squeezeformer_stack(x, mask, params_list, *, num_heads: int,

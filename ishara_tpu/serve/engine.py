@@ -54,6 +54,7 @@ def make_serving_program(
     beam_width: int = 8,
     beam_top_k: int = 8,
     fused: bool | str = False,
+    dma: bool = False,
 ):
     """The per-sequence serving program ``(variables, raw [T,276], length)
     -> (ids [max_out], count)`` — preprocess, encoder, decode, fallback.
@@ -85,8 +86,11 @@ def make_serving_program(
             from ..ops.fused_block import fused_encoder_forward
 
             cdt = "int8" if fused == "int8" else jnp.bfloat16
+            # dma: manual double-buffered weight prefetch in the stacked
+            # kernels — measured ~4-7% faster at the flagship encoder in
+            # paired round-4 probes (RESULTS.md "double-buffered DMA")
             logits = fused_encoder_forward(cfg, variables, x,
-                                           compute_dtype=cdt)
+                                           compute_dtype=cdt, dma=dma)
         else:
             logits = model.apply(variables, x[None], training=False)[0]
         if decode == "beam":
@@ -124,6 +128,7 @@ class InferenceEngine:
         beam_width: int = 8,
         beam_top_k: int = 8,
         fused: bool | str = False,
+        dma: bool = False,
     ):
         """See :func:`make_serving_program` for the option semantics."""
         self.model = model
@@ -137,7 +142,8 @@ class InferenceEngine:
         self.variables = prepare_serving_variables(variables, fused)
         self._program = make_serving_program(
             model, self.stats, max_out, decode=decode,
-            beam_width=beam_width, beam_top_k=beam_top_k, fused=fused)
+            beam_width=beam_width, beam_top_k=beam_top_k, fused=fused,
+            dma=dma)
         shape = jax.ShapeDtypeStruct((max_raw_frames, lm.N_COLS), jnp.float32)
         lshape = jax.ShapeDtypeStruct((), jnp.int32)
         self._compiled = (
