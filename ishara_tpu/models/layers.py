@@ -206,8 +206,9 @@ class MultiHeadSelfAttention(nn.Module):
         # AND without (the einsum backward writes the probabilities to HBM,
         # 66.2 -> 60.9 ms); eval keeps einsum (3x faster at T=176). The
         # single-block kernel holds [T, T] scores in VMEM — hard-capped at
-        # T<=512 regardless of table (beyond that only "flash_blocked" /
-        # "einsum" are eligible).
+        # T<=384 regardless of table (the round-4 geometry probe measured a
+        # scoped-VMEM OOM in its backward at T=512/Dh=64; beyond the cap
+        # only "flash_blocked" / "einsum" are eligible).
         from ..ops import selection
 
         if not deterministic and _on_tpu():
@@ -216,7 +217,7 @@ class MultiHeadSelfAttention(nn.Module):
         else:
             path = selection.serve_attention(self.dim, T) if _on_tpu() \
                 else "einsum"
-        if path == "flash" and T > 512:
+        if path == "flash" and T > 384:
             path = "einsum"
         if path == "flash_blocked" and rate == 0.0 and _on_tpu():
             from ..ops.attention_blocked import flash_mhsa_blocked

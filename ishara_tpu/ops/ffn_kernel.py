@@ -125,8 +125,18 @@ def _rows(shape):
     return n
 
 
-def _row_chunk(n):
-    return math.gcd(n, 1024)
+def _row_chunk(n, m):
+    """Rows per grid step. The backward holds several [rc, m] f32
+    intermediates (hidden, swish partials, mask, grad chains) in scoped
+    VMEM at once, so rc must shrink as the hidden width m grows: rc=1024
+    at the flagship m=1024 measures fastest and compiles at ~15.9M of the
+    16M scoped limit; m=2048 (dim 512) at rc=1024 OOMs the Mosaic stack
+    (round-4 geometry probe), so the cap scales as 2^20/m rounded down to
+    a power of two. fwd/bwd/debug_masks must agree on rc — the dropout
+    masks are regenerated per (seed, program_id) and a different grid
+    would re-slice them."""
+    cap = 1 << (max(128, (1 << 20) // max(m, 1)).bit_length() - 1)
+    return math.gcd(n, min(1024, cap))
 
 
 def _specs(rc, feat_in, feat_hid):
@@ -138,7 +148,7 @@ def _specs(rc, feat_in, feat_hid):
 def _fwd_call(x2, res2, w1, b1, w2, b2, seeds, rate1, rate2, interpret):
     n, k = x2.shape
     m = w1.shape[1]
-    rc = _row_chunk(n)
+    rc = _row_chunk(n, m)
     row, const = _specs(rc, k, m)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, rate1, rate2),
@@ -161,7 +171,7 @@ def _fwd_call(x2, res2, w1, b1, w2, b2, seeds, rate1, rate2, interpret):
 def _bwd_call(x2, dy2, w1, b1, w2, seeds, rate1, rate2, interpret):
     n, k = x2.shape
     m = w1.shape[1]
-    rc = _row_chunk(n)
+    rc = _row_chunk(n, m)
     row, const = _specs(rc, k, m)
     f32 = jnp.float32
     return pl.pallas_call(
@@ -248,7 +258,7 @@ ffn_residual.defvjp(_ffn_vjp_fwd, _ffn_vjp_bwd)
 def debug_masks(n, m, k, seeds, rate1, rate2, interpret=False):
     """Expose the exact keep-masks the kernels would draw for an [n, k]
     input with hidden width m (test oracle support)."""
-    rc = _row_chunk(n)
+    rc = _row_chunk(n, m)
 
     def kern(seed_ref, k1_ref, k2_ref):
         k1_ref[:] = _keep(seed_ref, 0, rate1, (rc, m))

@@ -67,7 +67,7 @@ def main():
     rng = np.random.default_rng(0)
     key = jax.random.key(0)
 
-    def bwd_ms(label, loss_fn, *args, lo=3, hi=9):
+    def bwd_ms(label, loss_fn, *args, lo=8, hi=40):
         """fwd+bwd slope of sum-loss wrt args[0] (+ carry chained into the
         input so nothing hoists)."""
         try:
@@ -92,7 +92,7 @@ def main():
             log(f"  {label}: FAILED {type(e).__name__}: {e}")
             return None
 
-    def fwd_ms(label, fn, *args, lo=4, hi=16):
+    def fwd_ms(label, fn, *args, lo=64, hi=512):
         try:
             def make(K):
                 def body(c, _):
@@ -167,9 +167,15 @@ def main():
         E = dim * 4
         x = jnp.asarray(rng.standard_normal((B, T, dim)), cd)
         res = jnp.asarray(rng.standard_normal((B, T, dim)), cd)
-        w1 = jnp.asarray(rng.standard_normal((dim, E)) / np.sqrt(dim), cd)
+        # weights stay f32 (flax param dtype) exactly as FusedFFN passes
+        # them from get_variable — the kernel casts to the compute dtype
+        # internally; an all-bf16-weight variant hit a different
+        # specialization that scoped-vmem-OOMed even at the anchor
+        w1 = jnp.asarray(rng.standard_normal((dim, E)) / np.sqrt(dim),
+                         jnp.float32)
         b1 = jnp.zeros((E,), jnp.float32)
-        w2 = jnp.asarray(rng.standard_normal((E, dim)) / np.sqrt(E), cd)
+        w2 = jnp.asarray(rng.standard_normal((E, dim)) / np.sqrt(E),
+                         jnp.float32)
         b2 = jnp.zeros((dim,), jnp.float32)
         seeds = jnp.asarray([3, 5], jnp.int32)
 
