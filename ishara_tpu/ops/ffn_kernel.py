@@ -126,16 +126,16 @@ def _rows(shape):
 
 
 def _row_chunk(n, m):
-    """Rows per grid step. The backward holds several [rc, m] f32
-    intermediates (hidden, swish partials, mask, grad chains) in scoped
-    VMEM at once, so rc must shrink as the hidden width m grows: rc=1024
-    at the flagship m=1024 measures fastest and compiles at ~15.9M of the
-    16M scoped limit; m=2048 (dim 512) at rc=1024 OOMs the Mosaic stack
-    (round-4 geometry probe), so the cap scales as 2^20/m rounded down to
-    a power of two. fwd/bwd/debug_masks must agree on rc — the dropout
-    masks are regenerated per (seed, program_id) and a different grid
-    would re-slice them."""
-    cap = 1 << (max(128, (1 << 20) // max(m, 1)).bit_length() - 1)
+    """Rows per grid step. The backward holds ~4 [rc, m] f32 intermediates
+    (hidden, swish partials, mask, grad chains) in scoped VMEM at once, so
+    rc must shrink as the hidden width m grows. Measured boundary (v5e,
+    round-4 geometry probe): rc=1024 at m=512 (the flagship, expansion 2)
+    compiles and is fastest; rc=1024 at m=1024 needs 17.06M > the 16M
+    scoped limit. Hence rc*m <= 2^19, rounded down to a power of two.
+    fwd/bwd/debug_masks must agree on rc — the dropout masks are
+    regenerated per (seed, program_id) and a different grid would
+    re-slice them."""
+    cap = 1 << (max(128, (1 << 19) // max(m, 1)).bit_length() - 1)
     return math.gcd(n, min(1024, cap))
 
 

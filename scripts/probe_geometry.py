@@ -163,8 +163,13 @@ def main():
                    q0, k0, v0, bias[:1], scale),
                q1, k1, v1)
 
-        # ---- C. FFN+residual fwd+bwd, dropout 0.1 both sites
-        E = dim * 4
+        # ---- C. FFN+residual fwd+bwd, dropout 0.1 both sites.
+        # expansion 2 — the PRODUCT geometry (config.EncoderConfig
+        # expansion_factor=2 at every preset, matching the reference); an
+        # earlier probe draft used 4x and scoped-vmem-OOMed at rc=1024,
+        # which is how the rc*m boundary in ops/ffn_kernel._row_chunk was
+        # found
+        E = dim * 2
         x = jnp.asarray(rng.standard_normal((B, T, dim)), cd)
         res = jnp.asarray(rng.standard_normal((B, T, dim)), cd)
         # weights stay f32 (flax param dtype) exactly as FusedFFN passes
