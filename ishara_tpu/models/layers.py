@@ -238,10 +238,9 @@ class MultiHeadSelfAttention(nn.Module):
             )
             seed = None
             if rate > 0.0:
-                import jax as _jax
+                from ..ops.dropout import site_seeds
 
-                seed = _jax.random.randint(
-                    self.make_rng("dropout"), (1,), 0, 2**31 - 1, jnp.int32)
+                seed = site_seeds(self.make_rng("dropout"), 1)
             out = flash_mhsa(q, k, v, bias, seed, scale=scale,
                              interpret=not _on_tpu(), dropout_rate=rate)
         else:
@@ -365,8 +364,9 @@ class FusedFFN(nn.Module):
                 and not self.is_initializing()):
             p0 = self.get_variable("params", "fc1")
             p1 = self.get_variable("params", "fc2")
-            seeds = jax.random.randint(
-                self.make_rng("dropout"), (2,), 0, 2 ** 31 - 1, jnp.int32)
+            from ..ops.dropout import site_seeds
+
+            seeds = site_seeds(self.make_rng("dropout"), 2)
             return ffn_residual(
                 x, res, p0["kernel"], p0["bias"], p1["kernel"], p1["bias"],
                 seeds, float(self.dropout), float(self.res_rate), False)

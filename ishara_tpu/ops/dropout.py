@@ -162,14 +162,46 @@ def _vjp_add_bwd(rate, seed, dy):
 tpu_dropout_add.defvjp(_vjp_add_fwd, _vjp_add_bwd)
 
 
+def site_seeds(rng, n: int = 1):
+    """Derive ``n`` int32 kernel seeds from a flax rng key WITHOUT a
+    threefry bits call.
+
+    The key handed out by ``make_rng`` is already the output of a threefry
+    fold-in chain over the module path — its key data IS uniformly
+    distributed PRNG output, so reinterpreting those words as the hardware
+    PRNG's 32-bit site seeds is statistically equivalent to
+    ``jax.random.randint`` while skipping the extra ~20 scalar threefry
+    rounds per site (~24 seed sites per flagship train step). Measured
+    perf-NEUTRAL at flagship scale (perf_probe section 11: 67.6/67.7 ms
+    vs 67.5/67.7 ms over two interleaved repeats — the scalar threefry
+    work was already hidden by XLA scheduling); kept because it
+    centralizes the three seed-derivation call sites behind one tested
+    helper, not as an optimization.
+
+    Works for any key impl with >= n 32-bit words (threefry: 2, rbg: 4);
+    falls back to one fold_in when more words are needed.
+    """
+    def _data(key):
+        # raw uint32 [2] keys (old-style PRNGKey) are already key data
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+            return jax.random.key_data(key).reshape(-1)
+        return key.reshape(-1)
+
+    data = _data(rng)[::-1]  # low word first: raw PRNGKey(x) has data [0, x]
+    while data.shape[0] < n:
+        data = jnp.concatenate(
+            [data, _data(jax.random.fold_in(rng, data.shape[0]))])
+    return jax.lax.bitcast_convert_type(
+        data[:n], jnp.int32) & jnp.int32(0x7FFFFFFF)
+
+
 def fast_dropout_add(res, x, rng, rate: float):
     """`res + dropout(x)` dispatcher: fused hardware-PRNG kernel on TPU,
     jax.random elsewhere (identical semantics, different mask stream)."""
     if rate <= 0.0:
         return res + x
     if _on_tpu():
-        seed = jax.random.randint(rng, (1,), 0, 2 ** 31 - 1, jnp.int32)
-        return tpu_dropout_add(res, x, seed, rate)
+        return tpu_dropout_add(res, x, site_seeds(rng, 1), rate)
     keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
     return res + jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
@@ -178,13 +210,12 @@ def fast_dropout(x, rng, rate: float):
     """Dropout dispatcher: hardware-PRNG kernel on TPU, jax.random elsewhere.
 
     ``rng`` is an ordinary threefry key; the TPU path derives the kernel's
-    32-bit site seed from it (one scalar threefry call instead of one per
-    mask element).
+    32-bit site seed from its key data (:func:`site_seeds` — no extra
+    threefry rounds beyond make_rng's fold-in chain).
     """
     if rate <= 0.0:
         return x
     if _on_tpu():
-        seed = jax.random.randint(rng, (1,), 0, 2 ** 31 - 1, jnp.int32)
-        return tpu_dropout(x, seed, rate)
+        return tpu_dropout(x, site_seeds(rng, 1), rate)
     keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)

@@ -24,7 +24,23 @@ import numpy as np
 # PYTHONPATH — that breaks the axon PJRT registration, CLAUDE.md)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SECTIONS = {int(c) for a in sys.argv[1:] for c in a if c.isdigit()} or {1, 2, 3, 4}
+# comma/space-separated section numbers. A part that is itself a section
+# number in [1, 19] selects that section ("10" = section ten, not {1, 0});
+# longer digit runs keep the legacy per-digit meaning ("34" = {3, 4}).
+def _parse_sections(argv):
+    out = set()
+    for a in argv:
+        for part in a.replace(",", " ").split():
+            if not part.isdigit():
+                continue
+            if 1 <= int(part) <= 19:
+                out.add(int(part))
+            else:
+                out.update(int(c) for c in part)
+    return out
+
+
+SECTIONS = _parse_sections(sys.argv[1:]) or {1, 2, 3, 4}
 # section 5: dropout-kernel micro-bench (bandwidth vs launch attribution)
 # section 6: dropout-site-class ablation (round 4: which class costs the
 #            full-vs-no-dropout gap)
@@ -500,12 +516,14 @@ def main():
             h = jax.nn.swish(x @ w1 + b1.astype(x.dtype))
             return res + (h @ w2 + b2.astype(x.dtype))
 
+        from ishara_tpu.ops import dropout as DR
+
         real_ffn = FK.ffn_residual
         real_flash = ATT.flash_mhsa
-        real_randint = jax.random.randint
+        real_seeds = DR.site_seeds
 
-        def stub_randint(key, shape, minval, maxval, dtype=jnp.int32):
-            return jnp.zeros(shape, dtype)
+        def stub_seeds(key, n=1):
+            return jnp.zeros((n,), jnp.int32)
 
         def flash_rate0(q, k, v, bias, seed=None, scale=1.0,
                         interpret=False, dropout_rate=0.0):
@@ -514,19 +532,19 @@ def main():
 
         try:
             FK.ffn_residual = xla_ffn_nodrop9
-            jax.random.randint = stub_randint
+            DR.site_seeds = stub_seeds
             ATT.flash_mhsa = flash_rate0
             with fnn.intercept_methods(skip9):
                 train_ms(base, "bf16 9a: all off + flash rate0 + "
-                               "randint stubbed (fold_ins only)")
+                               "site_seeds stubbed (fold_ins only)")
             ATT.flash_mhsa = real_flash
             with fnn.intercept_methods(skip9):
-                train_ms(base, "bf16 9b: all off + randint stubbed "
+                train_ms(base, "bf16 9b: all off + site_seeds stubbed "
                                "(attn in-kernel dropout kept)")
         finally:
             FK.ffn_residual = real_ffn
             ATT.flash_mhsa = real_flash
-            jax.random.randint = real_randint
+            DR.site_seeds = real_seeds
 
     # ---------------- 10. paired attribution (round 4) ------------------
     # Sections 6/8/9 ran across ~1 h and the numbers drifted (9a measured
@@ -557,12 +575,14 @@ def main():
             h = jax.nn.swish(x @ w1 + b1.astype(x.dtype))
             return res + (h @ w2 + b2.astype(x.dtype))
 
+        from ishara_tpu.ops import dropout as DR10
+
         real_ffn = FK.ffn_residual
         real_flash = ATT.flash_mhsa
-        real_randint = jax.random.randint
+        real_seeds10 = DR10.site_seeds
 
-        def stub_randint10(key, shape, minval, maxval, dtype=jnp.int32):
-            return jnp.zeros(shape, dtype)
+        def stub_seeds10(key, n=1):
+            return jnp.zeros((n,), jnp.int32)
 
         def flash_rate0_10(q, k, v, bias, seed=None, scale=1.0,
                            interpret=False, dropout_rate=0.0):
@@ -580,14 +600,14 @@ def main():
         def row_alloff():
             try:
                 FK.ffn_residual = xla_ffn_nodrop10
-                jax.random.randint = stub_randint10
+                DR10.site_seeds = stub_seeds10
                 ATT.flash_mhsa = flash_rate0_10
                 with fnn.intercept_methods(skip10):
                     return train_ms(base, "s10 all-off (bf16 stub)")
             finally:
                 FK.ffn_residual = real_ffn
                 ATT.flash_mhsa = real_flash
-                jax.random.randint = real_randint
+                DR10.site_seeds = real_seeds10
 
         def row_ffn_swap():
             try:
@@ -602,6 +622,30 @@ def main():
             row_floor()
             row_alloff()
             row_ffn_swap()
+
+    # ---------------- 11. seed-derivation swap (round 4) ----------------
+    # Measures the site_seeds change directly: the full step with the new
+    # key_data-reinterpret derivation (product code) vs the old
+    # jax.random.randint(make_rng(...)) derivation, paired with the
+    # no-dropout floor. Interleaved twice (drift guard, like s10).
+    if 11 in SECTIONS:
+        from ishara_tpu.ops import dropout as DR11
+
+        real_seeds11 = DR11.site_seeds
+
+        def randint_seeds(key, n=1):
+            return jax.random.randint(key, (n,), 0, 2 ** 31 - 1, jnp.int32)
+
+        nodrop11 = dataclasses.replace(base, dropout=0.0, top_dropout=0.0)
+        for rep in (1, 2):
+            log(f"--- s11 repeat {rep} ---")
+            train_ms(base, "s11 full, key_data site seeds (new)")
+            try:
+                DR11.site_seeds = randint_seeds
+                train_ms(base, "s11 full, randint site seeds (old)")
+            finally:
+                DR11.site_seeds = real_seeds11
+            train_ms(nodrop11, "s11 no-dropout floor")
 
     # ---------------- 7. batch-512 scaling point (round 4) --------------
     if 7 in SECTIONS:

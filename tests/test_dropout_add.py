@@ -27,6 +27,24 @@ def test_rate_zero_is_plain_add():
     np.testing.assert_array_equal(np.asarray(out), 3.0)
 
 
+def test_site_seeds_shapes_and_distinctness():
+    """site_seeds: n int32 in [0, 2^31) from typed/raw keys; folded keys
+    give distinct seeds; raw PRNGKey(x) keys differ in the first word."""
+    from ishara_tpu.ops.dropout import site_seeds
+
+    for key in (jax.random.key(3), jax.random.PRNGKey(3)):
+        for n in (1, 2, 5):
+            s = site_seeds(key, n)
+            assert s.shape == (n,) and s.dtype == jnp.int32
+            assert bool((s >= 0).all())
+    a = site_seeds(jax.random.fold_in(jax.random.key(0), 1), 2)
+    b = site_seeds(jax.random.fold_in(jax.random.key(0), 2), 2)
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
+    ra = site_seeds(jax.random.PRNGKey(10), 1)
+    rb = site_seeds(jax.random.PRNGKey(11), 1)
+    assert int(ra[0]) != int(rb[0])
+
+
 def test_module_site_still_trains():
     """SqueezeformerBlock with the fused residual sites: grads flow and
     eval mode is exactly res + h."""
