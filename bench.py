@@ -292,14 +292,28 @@ def main():
         # overhead check), and the early-exit loop capped at 18 steps — the
         # cost an 18-token (typical train.csv) phrase actually pays, since
         # the while_loop body is identical and exits at the EOS step.
-        variants = (("fixed64", False, 64, "translation_kv_ms"),
-                    ("early_exit64", True, 64, "translation_early_exit_ms"),
-                    ("typical18", True, 18, "translation_typical_phrase_ms"))
-        for name, early, mout, key in variants:
+        # "fused*" = the whole-loop Pallas decode kernel (ops/
+        # decoder_kernel.py): grid = decode step, VMEM-resident weights,
+        # caches in scratch, post-EOS steps predicated off in-kernel.
+        # Random-init weights never emit EOS, so fused64 is the full
+        # 64-step cost (compare fixed64) and fused18 the 18-token typical
+        # phrase cost (compare typical18), same convention as the XLA
+        # variants.
+        variants = (("fixed64", False, 64, "translation_kv_ms", False),
+                    ("early_exit64", True, 64,
+                     "translation_early_exit_ms", False),
+                    ("typical18", True, 18,
+                     "translation_typical_phrase_ms", False),
+                    ("fused64", False, 64,
+                     "translation_fused_kernel_ms", True),
+                    ("fused18", False, 18,
+                     "translation_fused_typical_ms", True))
+        for name, early, mout, key, fused in variants:
             t0 = time.perf_counter()
             teng = TranslationEngine(tmodel, tvars, frame_len=T,
                                      max_raw_frames=384, kv_cache=True,
-                                     early_exit=early, max_out=mout)
+                                     early_exit=early, max_out=mout,
+                                     fused=fused)
             log(f"compile(translation kv {name}): "
                 f"{time.perf_counter() - t0:.1f}s")
             tms, _ = slope_measure(

@@ -1,0 +1,268 @@
+"""Whole-loop fused greedy decode kernel for the translation family.
+
+Measured context (RESULTS.md round 4): the KV-cached serving decode costs
+~23 us per step at batch 1 — the per-step XLA program is ~25 tiny ops
+(LN/projections/attention/FFN over a [1, 208] activation row) and each op
+carries fixed dispatch overhead, exactly the op-count-bound regime the
+grid-pipelined encoder stacks (ops/fused_block.py) fused away for the CTC
+families. This kernel runs the ENTIRE autoregressive greedy loop as ONE
+Pallas kernel: the pallas grid dimension is the decode step, the ~2.6 MB of
+decoder weights are VMEM-resident across all steps (constant index maps —
+fetched once), the per-layer self-attention K/V caches live in VMEM scratch,
+and the next-token embedding lookup is a one-hot matmul. Once every output
+is EOS the whole step body is predicated off (``pl.when`` on an SMEM
+``finished`` flag) — the in-kernel form of the host path's while_loop early
+exit; dead grid steps cost only iteration overhead since the constant-index
+weight blocks never re-stream. The output matches
+:func:`ishara_tpu.decode.autoregressive.greedy_translate_cached`
+(either ``early_exit`` mode — post-finish steps only ever append pad).
+
+Reference behavior: the torch path has no generation loop at all (its
+validate() argmaxes encoder states, integration.py:819-827); the decode
+semantics fused here are this repo's ``DecoderLayer.step`` serving path
+(models/seq2seq.py), itself the O(S) form of ``nn.TransformerDecoderLayer``
+with norm_first=True (integration.py:367-377).
+
+Head-blocked attention without per-head loops: with activations flattened to
+[S, d] (head-major: feature index = h*Dh + dh), per-head scores are
+``(k * q) @ M`` where M[dd, h] = [dd // Dh == h] — one MXU matmul instead of
+H tiny per-head dots; the context is ``sum_s (p @ M.T) * v``. Summation sets
+match the einsum exactly (f32 accumulate), so parity with the XLA path is at
+float-associativity tolerance (token-exact in the tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import _on_tpu
+
+NEG = -1e30
+
+
+def _ln(x, g, b, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _mm(a, w):
+    return jnp.dot(a.astype(jnp.float32), w.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+
+
+def _attend(q, k, v, headmap, scale, maskadd):
+    """One query row against a key/value bank.
+
+    q [1, d]; k, v [S, d] head-major flattened; headmap [d, H];
+    maskadd [S, 1] additive (0 visible / NEG hidden). Returns [1, d]."""
+    s = _mm(k * q, headmap) * scale + maskadd          # [S, H]
+    s = s - jnp.max(s, axis=0, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=0, keepdims=True)
+    pd = jax.lax.dot_general(                           # p @ headmap.T
+        p, headmap, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)             # [S, d]
+    return jnp.sum(pd * v, axis=0, keepdims=True)       # [1, d]
+
+
+def _decoder_layer_step(x, kc_ref, vc_ref, kx, vx, w, headmap, scale,
+                        step, memadd, ln_eps):
+    """One DecoderLayer.step (models/seq2seq.py:282-313) against VMEM cache
+    scratch refs. ``step`` is the grid index (= cache row to write); the
+    caller predicates the whole step on the not-finished flag, so post-EOS
+    steps never reach these cache writes."""
+    (n1g, n1b, qw, qb, kw, kb, vw, vb, ow, ob,
+     n2g, n2b, cqw, cqb, cow, cob,
+     n3g, n3b, f1w, f1b, f2w, f2b) = w
+    S = kc_ref.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+
+    # self-attention against the carried cache
+    h = _ln(x, n1g, n1b, ln_eps)
+    q = _mm(h, qw) + qb
+    k_new = _mm(h, kw) + kb
+    v_new = _mm(h, vw) + vb
+    upd = rows == step                                  # [S, 1]
+    kc_ref[:] = jnp.where(upd, k_new, kc_ref[:])
+    vc_ref[:] = jnp.where(upd, v_new, vc_ref[:])
+    visadd = jnp.where(rows <= step, 0.0, NEG)          # causal visibility
+    ctx = _attend(q, kc_ref[:], vc_ref[:], headmap, scale, visadd)
+    x = x + _mm(ctx, ow) + ob
+
+    # cross-attention against the precomputed memory K/V
+    h = _ln(x, n2g, n2b, ln_eps)
+    q = _mm(h, cqw) + cqb
+    ctx = _attend(q, kx, vx, headmap, scale, memadd)
+    x = x + _mm(ctx, cow) + cob
+
+    # FFN (relu, dropout sites are serving no-ops)
+    h = _ln(x, n3g, n3b, ln_eps)
+    return x + _mm(jax.nn.relu(_mm(h, f1w) + f1b), f2w) + f2b
+
+
+def _decode_kernel(n_layers, sos, eos, pad, ln_eps, scale, treedef,
+                   *refs):
+    n_scratch = 3 + 2 * n_layers
+    ins = refs[: -1 - n_scratch]
+    tok_ref = refs[-1 - n_scratch]
+    emb, toks, fin = refs[-n_scratch: -n_scratch + 3]
+    cache_refs = refs[-n_scratch + 3:]
+
+    i = pl.program_id(0)
+    S_out = toks.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, S_out), 1)
+        emb[:] = ins[0][:]                               # sos embedding row
+        toks[:] = jnp.where(lanes == 0, sos, pad)
+        fin[0, 0] = 0
+        for r in cache_refs:
+            r[:] = jnp.zeros_like(r)  # garbage V rows would NaN-poison p*v
+
+    # in-kernel EOS early exit: once finished, the whole step body is
+    # predicated off — dead grid steps cost only the iteration overhead
+    # (the weight blocks have constant index maps, so nothing re-streams)
+    @pl.when(fin[0, 0] == 0)
+    def _():
+        (sos_emb, embed, headmap, memadd, dng, dnb, clsw, clsb,
+         layer_ws, crosses) = jax.tree_util.tree_unflatten(
+            treedef, [r[:] for r in ins])
+        C = embed.shape[0]
+        lanes_S = jax.lax.broadcasted_iota(jnp.int32, (1, S_out), 1)
+        lanes_C = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+
+        x = emb[:]
+        for li in range(n_layers):
+            kx, vx = crosses[li]
+            x = _decoder_layer_step(
+                x, cache_refs[2 * li], cache_refs[2 * li + 1], kx, vx,
+                layer_ws[li], headmap, scale, i, memadd, ln_eps)
+
+        logits = _mm(_ln(x, dng, dnb, ln_eps), clsw) + clsb  # [1, C]
+        mx = jnp.max(logits, axis=1, keepdims=True)
+        # first-max index == jnp.argmax tie-breaking
+        nxt = jnp.min(jnp.where(logits == mx, lanes_C, C), axis=1,
+                      keepdims=True)
+
+        toks[:] = jnp.where(lanes_S == i + 1, nxt, toks[:])
+        fin[0, 0] = jnp.sum(jnp.where(nxt == eos, 1, 0))
+        onehot = (lanes_C == nxt).astype(jnp.float32)    # [1, C]
+        emb[:] = _mm(onehot, embed)
+
+    tok_ref[:] = toks[:]
+
+
+def _layer_args(p):
+    row = lambda v: jnp.asarray(v, jnp.float32)[None, :]  # noqa: E731
+    mat = lambda v: jnp.asarray(v, jnp.float32)  # noqa: E731
+    return (
+        row(p["norm1"]["scale"]), row(p["norm1"]["bias"]),
+        mat(p["sa_q"]["kernel"]), row(p["sa_q"]["bias"]),
+        mat(p["sa_k"]["kernel"]), row(p["sa_k"]["bias"]),
+        mat(p["sa_v"]["kernel"]), row(p["sa_v"]["bias"]),
+        mat(p["sa_out"]["kernel"]), row(p["sa_out"]["bias"]),
+        row(p["norm2"]["scale"]), row(p["norm2"]["bias"]),
+        mat(p["ca_q"]["kernel"]), row(p["ca_q"]["bias"]),
+        mat(p["ca_out"]["kernel"]), row(p["ca_out"]["bias"]),
+        row(p["norm3"]["scale"]), row(p["norm3"]["bias"]),
+        mat(p["fc1"]["kernel"]), row(p["fc1"]["bias"]),
+        mat(p["fc2"]["kernel"]), row(p["fc2"]["bias"]),
+    )
+
+
+def fused_greedy_decode(model, variables, memory, mask=None, *,
+                        max_len: int = 64, sos: int = 1, eos: int = 2,
+                        pad: int = 0, interpret: bool | None = None):
+    """Greedy-decode ``memory`` [1, T, d] (the output of ``model.encode``)
+    with one Pallas kernel for the whole loop. Returns tokens [1, max_len]
+    equal to ``greedy_translate_cached``'s (tests/test_decoder_kernel.py).
+
+    ``mask`` [1, T] bool marks valid memory frames (as in ``decode_step``).
+    Weights are loaded f32 (they stream HBM->VMEM once for all steps, so
+    storage-dtype games buy nothing here)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    if memory.shape[0] != 1:
+        raise ValueError("fused decode serves one sequence at a time")
+    params = variables["params"]
+    d = model.feature_dim
+    H = model.num_heads
+    L = model.num_decoder_layers
+    C = model.num_classes
+    Dh = d // H
+    T = memory.shape[1]
+    # the model builds DecoderLayer(...) with flax-default LN eps handling:
+    # LN_EPS from models/seq2seq.py (1e-6)
+    from ..models.seq2seq import LN_EPS as MODEL_LN_EPS
+
+    cross = model.apply(variables, memory, method=model.cross_kv)
+    crosses = tuple(
+        (k[0].reshape(T, d).astype(jnp.float32),
+         v[0].reshape(T, d).astype(jnp.float32))
+        for k, v in cross
+    )
+    embed = jnp.asarray(params["target_embedding"]["embedding"], jnp.float32)
+    sos_emb = embed[sos][None, :]
+    dd = jnp.arange(d) // Dh
+    headmap = (dd[:, None] == jnp.arange(H)[None, :]).astype(jnp.float32)
+    if mask is not None:
+        memadd = jnp.where(jnp.asarray(mask[0], bool), 0.0, NEG)[
+            :, None].astype(jnp.float32)
+    else:
+        memadd = jnp.zeros((T, 1), jnp.float32)
+    layer_ws = tuple(_layer_args(params[f"decoder_layers_{i}"])
+                     for i in range(L))
+    args = (sos_emb, embed, headmap, memadd,
+            jnp.asarray(params["decoder_norm"]["scale"],
+                        jnp.float32)[None, :],
+            jnp.asarray(params["decoder_norm"]["bias"], jnp.float32)[None, :],
+            jnp.asarray(params["classifier"]["kernel"], jnp.float32),
+            jnp.asarray(params["classifier"]["bias"], jnp.float32)[None, :],
+            layer_ws, crosses)
+    flat, treedef = jax.tree_util.tree_flatten(args)
+
+    kernel = functools.partial(
+        _decode_kernel, L, sos, eos, pad, MODEL_LN_EPS, Dh ** -0.5, treedef)
+    const = lambda *_: tuple([0] * 2)  # noqa: E731
+
+    def inspec(a):
+        nd = a.ndim
+        return pl.BlockSpec(a.shape, lambda i, nd=nd: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    tokens = pl.pallas_call(
+        kernel,
+        grid=(max_len - 1,),
+        in_specs=[inspec(a) for a in flat],
+        out_specs=pl.BlockSpec((1, max_len), const, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, max_len), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((1, d), jnp.float32),          # carried embedding
+            pltpu.VMEM((1, max_len), jnp.int32),      # token accumulator
+            pltpu.SMEM((1, 1), jnp.int32),            # finished flag
+        ] + [pltpu.VMEM((max_len, d), jnp.float32)
+             for _ in range(2 * L)],                  # per-layer K/V caches
+        interpret=interpret,
+    )(*flat)
+    return tokens
+
+
+def fused_greedy_translate(model, variables, x, mask=None, *,
+                           max_len: int = 64, sos: int = 1, eos: int = 2,
+                           pad: int = 0, interpret: bool | None = None):
+    """Drop-in for ``greedy_translate_cached`` (same contract: x [1, T, 92,
+    3] -> (tokens [1, max_len], confidence)): XLA encoder + cross-K/V, then
+    the whole decode loop as one Pallas kernel."""
+    memory, confidence = model.apply(
+        variables, x, mask, training=False, method=model.encode)
+    tokens = fused_greedy_decode(
+        model, variables, memory, mask, max_len=max_len,
+        sos=sos, eos=eos, pad=pad, interpret=interpret)
+    return tokens, confidence

@@ -38,16 +38,22 @@ class TranslationEngine:
         beam_width: int = 4,
         length_penalty: float = 0.0,
         early_exit: bool = True,
+        fused: bool = False,
     ):
         """``kv_cache=True`` (default) decodes with per-layer self-attention
         K/V caches and once-computed cross-attention K/V (O(S) decoder work
         per sequence); ``False`` keeps the full-prefix-recompute oracle.
         ``decode="beam"`` runs KV-cached beam search (beams ride the batch
-        axis; requires ``kv_cache=True``)."""
+        axis; requires ``kv_cache=True``). ``fused=True`` (greedy only) runs
+        the ENTIRE decode loop as one Pallas kernel (ops/decoder_kernel.py):
+        VMEM-resident decoder weights across all steps, caches in scratch —
+        the translation counterpart of ``InferenceEngine(fused=...)``."""
         if decode not in ("greedy", "beam"):
             raise ValueError(f"decode must be 'greedy' or 'beam', got {decode!r}")
         if decode == "beam" and not kv_cache:
             raise ValueError("beam decode requires kv_cache=True")
+        if fused and decode != "greedy":
+            raise ValueError("fused decode implements greedy only")
         self.variables = variables
         self.max_raw_frames = max_raw_frames
         self.max_out = max_out
@@ -58,6 +64,10 @@ class TranslationEngine:
                     model, variables, x, mask, beam_width=beam_width,
                     length_penalty=length_penalty, **kw)
                 return tokens, conf
+        elif fused:
+            from ..ops.decoder_kernel import fused_greedy_translate
+
+            decode_fn = fused_greedy_translate
         elif kv_cache:
             import functools
 

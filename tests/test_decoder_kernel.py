@@ -1,0 +1,99 @@
+"""Whole-loop fused greedy-decode kernel parity (ops/decoder_kernel.py).
+
+The kernel runs the entire autoregressive loop in one Pallas program (grid =
+decode step, VMEM-resident weights, K/V caches in scratch, one-hot-matmul
+embedding lookup, masked post-EOS skipping). Interpret-mode tokens must equal
+``greedy_translate_cached``'s — same parameters, same inputs — so any
+divergence is a cache-row, visibility-mask, head-blocking, or argmax
+tie-break bug."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ishara_tpu.decode.autoregressive import greedy_translate_cached
+from ishara_tpu.models.seq2seq import ASLTranslationModel
+from ishara_tpu.ops.decoder_kernel import (
+    fused_greedy_decode,
+    fused_greedy_translate,
+)
+
+
+def _build(feature_dim=32, num_heads=4, num_decoder_layers=2, T=12,
+           num_classes=30, seed=0):
+    model = ASLTranslationModel(
+        num_classes=num_classes, feature_dim=feature_dim, num_layers=1,
+        num_decoder_layers=num_decoder_layers, num_heads=num_heads,
+        dropout=0.0,
+    )
+    x = jnp.asarray(np.random.default_rng(seed).standard_normal(
+        (1, T, 92, 3)).astype(np.float32))
+    mask = jnp.ones((1, T), bool).at[0, T - 3:].set(False)
+    variables = model.init(jax.random.key(seed), x, mask,
+                           jnp.zeros((1, 4), jnp.int32))
+    return model, variables, x, mask
+
+
+@pytest.mark.parametrize("layers,heads,dim", [(2, 4, 32), (1, 8, 64)])
+def test_fused_decode_matches_cached(layers, heads, dim):
+    model, variables, x, mask = _build(
+        feature_dim=dim, num_heads=heads, num_decoder_layers=layers)
+    ref, c_ref = jax.jit(
+        lambda v, x, m: greedy_translate_cached(
+            model, v, x, m, max_len=16, early_exit=False)
+    )(variables, x, mask)
+    got, c_got = jax.jit(
+        lambda v, x, m: fused_greedy_translate(
+            model, v, x, m, max_len=16, interpret=True)
+    )(variables, x, mask)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    np.testing.assert_allclose(np.asarray(c_ref), np.asarray(c_got),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_decode_no_mask():
+    model, variables, x, _ = _build()
+    ref, _ = jax.jit(
+        lambda v, x: greedy_translate_cached(
+            model, v, x, None, max_len=12, early_exit=False)
+    )(variables, x)
+    got, _ = jax.jit(
+        lambda v, x: fused_greedy_translate(
+            model, v, x, None, max_len=12, interpret=True)
+    )(variables, x)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_fused_decode_eos_freezes_output():
+    """Force an early EOS by biasing the classifier: every position after
+    the first generated token must be pad, and the caches/embedding carried
+    past EOS must not corrupt it (post-EOS steps are masked off)."""
+    model, variables, x, mask = _build(seed=3)
+    variables = jax.tree_util.tree_map(lambda a: a, variables)
+    bias = np.zeros_like(
+        np.asarray(variables["params"]["classifier"]["bias"]))
+    bias[2] = 100.0  # eos wins every step
+    variables["params"]["classifier"]["bias"] = jnp.asarray(bias)
+
+    got, _ = jax.jit(
+        lambda v, x, m: fused_greedy_translate(
+            model, v, x, m, max_len=10, interpret=True)
+    )(variables, x, mask)
+    got = np.asarray(got)[0]
+    assert got[0] == 1            # sos
+    assert got[1] == 2            # immediate eos
+    np.testing.assert_array_equal(got[2:], np.zeros(8, np.int32))
+
+
+def test_fused_decode_from_memory_contract():
+    """fused_greedy_decode consumes a precomputed memory (the engine calls
+    encode once and reuses it)."""
+    model, variables, x, mask = _build()
+    memory, _ = model.apply(variables, x, mask, training=False,
+                            method=model.encode)
+    ref, _ = greedy_translate_cached(model, variables, x, mask, max_len=12,
+                                     early_exit=False)
+    got = fused_greedy_decode(model, variables, memory, mask, max_len=12,
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

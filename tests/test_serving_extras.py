@@ -155,3 +155,32 @@ def test_engine_beam_decode_mode(model_vars):
     assert 0 <= count <= 64
     with pytest.raises(ValueError):
         InferenceEngine(model, variables, decode="viterbi")
+
+
+def test_translation_engine_fused_matches_xla():
+    """TranslationEngine(fused=True) — the whole-loop Pallas decode kernel —
+    produces the same tokens/confidence as the XLA while_loop engine."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from ishara_tpu.models.seq2seq import ASLTranslationModel
+    from ishara_tpu.serve.translation_engine import TranslationEngine
+
+    model = ASLTranslationModel(num_classes=30, feature_dim=64, num_heads=4,
+                                dropout=0.0)
+    x0 = jnp.zeros((1, 32, 92, 3))
+    m0 = jnp.ones((1, 32), bool)
+    variables = model.init(jax.random.key(1), x0, m0,
+                           jnp.zeros((1, 4), jnp.int32))
+    kw = dict(frame_len=32, max_raw_frames=64, max_out=12)
+    ref = TranslationEngine(model, variables, **kw)
+    fused = TranslationEngine(model, variables, fused=True, **kw)
+    raw = np.random.default_rng(0).standard_normal((40, 276)).astype(
+        np.float32)
+    t_ref, c_ref = ref(raw)
+    t_fused, c_fused = fused(raw)
+    np.testing.assert_array_equal(t_ref, t_fused)
+    np.testing.assert_allclose(c_ref, c_fused, rtol=1e-4, atol=1e-4)
+    with pytest.raises(ValueError):
+        TranslationEngine(model, variables, fused=True, decode="beam", **kw)
