@@ -299,21 +299,27 @@ def main():
         # 64-step cost (compare fixed64) and fused18 the 18-token typical
         # phrase cost (compare typical18), same convention as the XLA
         # variants.
-        variants = (("fixed64", False, 64, "translation_kv_ms", False),
-                    ("early_exit64", True, 64,
-                     "translation_early_exit_ms", False),
-                    ("typical18", True, 18,
-                     "translation_typical_phrase_ms", False),
-                    ("fused64", False, 64,
-                     "translation_fused_kernel_ms", True),
-                    ("fused18", False, 18,
-                     "translation_fused_typical_ms", True))
-        for name, early, mout, key, fused in variants:
+        variants = (
+            ("fixed64", False, 64, "translation_kv_ms", False, "greedy"),
+            ("early_exit64", True, 64,
+             "translation_early_exit_ms", False, "greedy"),
+            ("typical18", True, 18,
+             "translation_typical_phrase_ms", False, "greedy"),
+            ("fused64", False, 64,
+             "translation_fused_kernel_ms", True, "greedy"),
+            ("fused18", False, 18,
+             "translation_fused_typical_ms", True, "greedy"),
+            ("beam4_64", True, 64, "translation_beam_ms", False, "beam"),
+            ("fused_beam4_64", True, 64,
+             "translation_fused_beam_ms", True, "beam"),
+        )
+        for name, early, mout, key, fused, dec in variants:
             t0 = time.perf_counter()
             teng = TranslationEngine(tmodel, tvars, frame_len=T,
                                      max_raw_frames=384, kv_cache=True,
                                      early_exit=early, max_out=mout,
-                                     fused=fused)
+                                     fused=fused, decode=dec,
+                                     beam_width=4)
             log(f"compile(translation kv {name}): "
                 f"{time.perf_counter() - t0:.1f}s")
             tms, _ = slope_measure(

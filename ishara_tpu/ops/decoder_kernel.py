@@ -266,3 +266,281 @@ def fused_greedy_translate(model, variables, x, mask=None, *,
         model, variables, memory, mask, max_len=max_len,
         sos=sos, eos=eos, pad=pad, interpret=interpret)
     return tokens, confidence
+
+
+# ---------------------------------------------------------------------------
+# Whole-loop fused BEAM search (decode/autoregressive.py beam_translate_cached
+# semantics, W beams in one kernel)
+# ---------------------------------------------------------------------------
+#
+# The beam state rides the kernel the same way the greedy state does, with
+# three additions, all expressed as static-shape vector arithmetic (Mosaic
+# has no dynamic gather/scatter):
+#   * top-W over the [W, C] continuation matrix = W rounds of stable
+#     first-max extraction (max value, then the smallest untaken flat index
+#     among value ties — exactly jax.lax.top_k's stable-descending order);
+#   * parent reordering of tokens/finished = a [W, W] one-hot selection
+#     matrix (parent_col == cols) applied as an MXU matmul (token ids < C
+#     are exact in f32);
+#   * parent reordering of the [W*S, d] K/V caches = per-(w, p) static
+#     block slices scaled by sel[w, p] and re-concatenated (16 tiny VPU
+#     multiply-adds at W=4 — no dynamic leading-index loads needed).
+
+
+def _decoder_layer_step_beam(x, kc_ref, vc_ref, kx, vx, w, headmap, scale,
+                             step, memadd, ln_eps, W, S):
+    """DecoderLayer.step over W beam rows; caches are [W*S, d] refs with
+    beam w's bank in rows [w*S, (w+1)*S)."""
+    (n1g, n1b, qw, qb, kw, kb, vw, vb, ow, ob,
+     n2g, n2b, cqw, cqb, cow, cob,
+     n3g, n3b, f1w, f1b, f2w, f2b) = w
+    rows_ws = jax.lax.broadcasted_iota(jnp.int32, (W * S, 1), 0)
+    cols_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    rows_s = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+
+    h = _ln(x, n1g, n1b, ln_eps)                        # [W, d]
+    q = _mm(h, qw) + qb
+    k_new = _mm(h, kw) + kb
+    v_new = _mm(h, vw) + vb
+    # expand per-beam rows to their cache banks and write row ``step``
+    expand = ((rows_ws // S) == cols_w).astype(jnp.float32)  # [W*S, W]
+    upd = (rows_ws % S) == step
+    kc_ref[:] = jnp.where(upd, _mm(expand, k_new), kc_ref[:])
+    vc_ref[:] = jnp.where(upd, _mm(expand, v_new), vc_ref[:])
+    kc, vc = kc_ref[:], vc_ref[:]
+    visadd = jnp.where(rows_s <= step, 0.0, NEG)
+
+    ctx = jnp.concatenate(
+        [_attend(q[b: b + 1], kc[b * S: (b + 1) * S],
+                 vc[b * S: (b + 1) * S], headmap, scale, visadd)
+         for b in range(W)], axis=0)                    # [W, d]
+    x = x + _mm(ctx, ow) + ob
+
+    h = _ln(x, n2g, n2b, ln_eps)
+    q = _mm(h, cqw) + cqb
+    ctx = jnp.concatenate(
+        [_attend(q[b: b + 1], kx, vx, headmap, scale, memadd)
+         for b in range(W)], axis=0)
+    x = x + _mm(ctx, cow) + cob
+
+    h = _ln(x, n3g, n3b, ln_eps)
+    return x + _mm(jax.nn.relu(_mm(h, f1w) + f1b), f2w) + f2b
+
+
+def _beam_kernel(n_layers, W, sos, eos, pad, ln_eps, scale, treedef, *refs):
+    n_scratch = 4 + 2 * n_layers
+    ins = refs[: -2 - n_scratch]
+    tok_ref, sc_ref = refs[-2 - n_scratch: -n_scratch]
+    emb, toks, scores, fin = refs[-n_scratch: -n_scratch + 4]
+    cache_refs = refs[-n_scratch + 4:]
+
+    i = pl.program_id(0)
+    S_out = toks.shape[1]
+    rows_w = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    cols_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    lanes_S = jax.lax.broadcasted_iota(jnp.int32, (1, S_out), 1)
+
+    @pl.when(i == 0)
+    def _():
+        sos_emb = ins[0][:]
+        emb[:] = sos_emb * jnp.ones((W, 1), jnp.float32)
+        toks[:] = jnp.where(lanes_S == 0, sos, pad) + jnp.zeros(
+            (W, 1), jnp.int32)
+        # only beam 0 live at the first step (all beams start identically);
+        # -1e30 plays host -inf: never selected while any live beam offers
+        # C finite continuations (W <= C is asserted by the wrapper)
+        scores[:] = jnp.where(rows_w == 0, 0.0, NEG).astype(jnp.float32)
+        fin[0, 0] = 0
+        for r in cache_refs:
+            r[:] = jnp.zeros_like(r)
+
+    @pl.when(fin[0, 0] == 0)
+    def _():
+        (sos_emb, embed, headmap, memadd, dng, dnb, clsw, clsb,
+         layer_ws, crosses) = jax.tree_util.tree_unflatten(
+            treedef, [r[:] for r in ins])
+        C = embed.shape[0]
+        lanes_C = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+        S = cache_refs[0].shape[0] // W
+
+        x = emb[:]
+        for li in range(n_layers):
+            kx, vx = crosses[li]
+            x = _decoder_layer_step_beam(
+                x, cache_refs[2 * li], cache_refs[2 * li + 1], kx, vx,
+                layer_ws[li], headmap, scale, i, memadd, ln_eps, W, S)
+
+        logits = _mm(_ln(x, dng, dnb, ln_eps), clsw) + clsb   # [W, C]
+        mx = jnp.max(logits, axis=1, keepdims=True)
+        shifted = logits - mx
+        logp = shifted - jnp.log(
+            jnp.sum(jnp.exp(shifted), axis=1, keepdims=True))
+        # finished beams extend only with pad, at no cost; a beam is
+        # finished iff its (parent-reordered) token row contains eos —
+        # equivalent to the host's carried finished[parent] | (tok == eos)
+        fin_row = jnp.where(lanes_C == pad, 0.0, NEG)
+        finished = jnp.sum((toks[:] == eos).astype(jnp.int32), axis=1,
+                           keepdims=True) > 0                  # [W, 1]
+        logp = jnp.where(finished, fin_row, logp)
+        total = scores[:] + logp                              # [W, C]
+
+        # stable top-W extraction over the flattened [W, C] continuations
+        flat_idx = rows_w * C + lanes_C                       # [W, C]
+        taken = jnp.zeros((W, C), bool)
+        parent_col = jnp.zeros((W, 1), jnp.int32)
+        tok_col = jnp.zeros((W, 1), jnp.int32)
+        new_scores = jnp.zeros((W, 1), jnp.float32)
+        BIG = W * C + 1
+        zW_f = jnp.zeros((W, 1), jnp.float32)
+        zW_i = jnp.zeros((W, 1), jnp.int32)
+        for j in range(W):
+            cur = jnp.where(taken, NEG * 2.0, total)
+            # global max/argmin staged through [W, 1] columns: a [1, 1]
+            # value may broadcast along sublanes OR lanes but not both at
+            # once on Mosaic, so it never meets a [W, C] operand directly
+            mxv = jnp.max(jnp.max(cur, axis=1, keepdims=True),
+                          axis=0, keepdims=True) + zW_f       # [W, 1]
+            fi = jnp.min(jnp.min(
+                jnp.where((total == mxv) & ~taken, flat_idx, BIG),
+                axis=1, keepdims=True), axis=0, keepdims=True) + zW_i
+            parent_col = jnp.where(rows_w == j, fi // C, parent_col)
+            tok_col = jnp.where(rows_w == j, fi % C, tok_col)
+            new_scores = jnp.where(rows_w == j, mxv, new_scores)
+            taken = taken | (flat_idx == fi)
+
+        sel = (parent_col == cols_w).astype(jnp.float32)      # [W, W]
+        new_toks = _mm(sel, toks[:].astype(jnp.float32))      # [W, S]
+        new_toks = jnp.where(lanes_S == i + 1,
+                             tok_col.astype(jnp.float32), new_toks)
+        toks[:] = new_toks.astype(jnp.int32)
+        scores[:] = new_scores
+        # cache reorder as ONE [W*S, W*S] selection matmul per bank:
+        # P[r, c] = 1 iff row r's beam takes its bank from row c's beam
+        # (parent) AND r, c index the same in-bank position. Built purely
+        # from iota compares (no [1, 1]-to-2D broadcasts — Mosaic cannot
+        # broadcast in sublanes and lanes at once).
+        rows_ws = jax.lax.broadcasted_iota(jnp.int32, (W * S, 1), 0)
+        cols_ws = jax.lax.broadcasted_iota(jnp.int32, (1, W * S), 1)
+        expand = ((rows_ws // S) == cols_w).astype(jnp.float32)  # [W*S, W]
+        parent_rows = _mm(expand, parent_col.astype(jnp.float32))
+        P = ((parent_rows == (cols_ws // S).astype(jnp.float32)) &
+             ((rows_ws % S) == (cols_ws % S))).astype(jnp.float32)
+        for r in cache_refs:
+            r[:] = _mm(P, r[:])
+        onehot = (lanes_C == tok_col).astype(jnp.float32)     # [W, C]
+        emb[:] = _mm(onehot, embed)
+        # all beams finished (eos somewhere in every row) -> stop
+        any_eos = jnp.sum((toks[:] == eos).astype(jnp.int32), axis=1,
+                          keepdims=True)                      # [W, 1]
+        fin[0, 0] = jnp.sum(jnp.where(
+            jnp.min(any_eos, axis=0, keepdims=True) > 0, 1, 0))
+
+    tok_ref[:] = toks[:]
+    sc_ref[:] = scores[:]
+
+
+def fused_beam_decode(model, variables, memory, mask=None, *,
+                      max_len: int = 64, beam_width: int = 4, sos: int = 1,
+                      eos: int = 2, pad: int = 0,
+                      interpret: bool | None = None):
+    """Beam-search ``memory`` [1, T, d] with one Pallas kernel for the whole
+    loop. Returns (tokens [W, max_len], scores [W, 1]) — all beams, final
+    raw log-prob scores; the wrapper applies the length penalty and picks
+    the best (matching ``beam_translate_cached``'s tail)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    if memory.shape[0] != 1:
+        raise ValueError("beam decode serves one sequence at a time")
+    params = variables["params"]
+    d = model.feature_dim
+    H = model.num_heads
+    L = model.num_decoder_layers
+    C = model.num_classes
+    W = beam_width
+    if W > C:
+        raise ValueError(f"beam_width {W} > num_classes {C}")
+    Dh = d // H
+    T = memory.shape[1]
+    from ..models.seq2seq import LN_EPS as MODEL_LN_EPS
+
+    cross = model.apply(variables, memory, method=model.cross_kv)
+    crosses = tuple(
+        (k[0].reshape(T, d).astype(jnp.float32),
+         v[0].reshape(T, d).astype(jnp.float32))
+        for k, v in cross
+    )
+    embed = jnp.asarray(params["target_embedding"]["embedding"], jnp.float32)
+    sos_emb = embed[sos][None, :]
+    dd = jnp.arange(d) // Dh
+    headmap = (dd[:, None] == jnp.arange(H)[None, :]).astype(jnp.float32)
+    if mask is not None:
+        memadd = jnp.where(jnp.asarray(mask[0], bool), 0.0, NEG)[
+            :, None].astype(jnp.float32)
+    else:
+        memadd = jnp.zeros((T, 1), jnp.float32)
+    layer_ws = tuple(_layer_args(params[f"decoder_layers_{i}"])
+                     for i in range(L))
+    args = (sos_emb, embed, headmap, memadd,
+            jnp.asarray(params["decoder_norm"]["scale"],
+                        jnp.float32)[None, :],
+            jnp.asarray(params["decoder_norm"]["bias"], jnp.float32)[None, :],
+            jnp.asarray(params["classifier"]["kernel"], jnp.float32),
+            jnp.asarray(params["classifier"]["bias"], jnp.float32)[None, :],
+            layer_ws, crosses)
+    flat, treedef = jax.tree_util.tree_flatten(args)
+
+    kernel = functools.partial(
+        _beam_kernel, L, W, sos, eos, pad, MODEL_LN_EPS, Dh ** -0.5, treedef)
+
+    def inspec(a):
+        nd = a.ndim
+        return pl.BlockSpec(a.shape, lambda i, nd=nd: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    tokens, scores = pl.pallas_call(
+        kernel,
+        grid=(max_len - 1,),
+        in_specs=[inspec(a) for a in flat],
+        out_specs=[
+            pl.BlockSpec((W, max_len), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((W, max_len), jnp.int32),
+            jax.ShapeDtypeStruct((W, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, d), jnp.float32),          # carried embeddings
+            pltpu.VMEM((W, max_len), jnp.int32),      # token accumulator
+            pltpu.VMEM((W, 1), jnp.float32),          # beam scores
+            pltpu.SMEM((1, 1), jnp.int32),            # all-finished flag
+        ] + [pltpu.VMEM((W * max_len, d), jnp.float32)
+             for _ in range(2 * L)],                  # per-layer K/V banks
+        interpret=interpret,
+    )(*flat)
+    return tokens, scores
+
+
+def fused_beam_translate(model, variables, x, mask=None, *,
+                         max_len: int = 64, beam_width: int = 4,
+                         sos: int = 1, eos: int = 2, pad: int = 0,
+                         length_penalty: float = 0.0,
+                         interpret: bool | None = None):
+    """Drop-in for ``beam_translate_cached`` (returns (tokens [1, max_len],
+    confidence, best score)): XLA encoder + cross-K/V, one Pallas kernel for
+    the whole beam loop, then the oracle's length-penalty/argmax tail."""
+    memory, confidence = model.apply(
+        variables, x, mask, training=False, method=model.encode)
+    tokens, scores = fused_beam_decode(
+        model, variables, memory, mask, max_len=max_len,
+        beam_width=beam_width, sos=sos, eos=eos, pad=pad,
+        interpret=interpret)
+    scores = scores[:, 0]
+    if length_penalty > 0.0:
+        gen = tokens[:, 1:]
+        lengths = jnp.sum((gen != pad) & (gen != eos), axis=1)
+        scores = scores / jnp.maximum(lengths, 1).astype(
+            jnp.float32) ** length_penalty
+    best = jnp.argmax(scores)
+    return tokens[best][None], confidence, scores[best]

@@ -44,21 +44,28 @@ class TranslationEngine:
         K/V caches and once-computed cross-attention K/V (O(S) decoder work
         per sequence); ``False`` keeps the full-prefix-recompute oracle.
         ``decode="beam"`` runs KV-cached beam search (beams ride the batch
-        axis; requires ``kv_cache=True``). ``fused=True`` (greedy only) runs
-        the ENTIRE decode loop as one Pallas kernel (ops/decoder_kernel.py):
-        VMEM-resident decoder weights across all steps, caches in scratch —
-        the translation counterpart of ``InferenceEngine(fused=...)``."""
+        axis; requires ``kv_cache=True``). ``fused=True`` runs the ENTIRE
+        decode loop (greedy or beam) as one Pallas kernel
+        (ops/decoder_kernel.py): VMEM-resident decoder weights across all
+        steps, caches in scratch — the translation counterpart of
+        ``InferenceEngine(fused=...)``."""
         if decode not in ("greedy", "beam"):
             raise ValueError(f"decode must be 'greedy' or 'beam', got {decode!r}")
         if decode == "beam" and not kv_cache:
             raise ValueError("beam decode requires kv_cache=True")
-        if fused and decode != "greedy":
-            raise ValueError("fused decode implements greedy only")
         self.variables = variables
         self.max_raw_frames = max_raw_frames
         self.max_out = max_out
         stats = stats or GroupStats.identity()
-        if decode == "beam":
+        if decode == "beam" and fused:
+            from ..ops.decoder_kernel import fused_beam_translate
+
+            def decode_fn(model, variables, x, mask, **kw):
+                tokens, conf, _ = fused_beam_translate(
+                    model, variables, x, mask, beam_width=beam_width,
+                    length_penalty=length_penalty, **kw)
+                return tokens, conf
+        elif decode == "beam":
             def decode_fn(model, variables, x, mask, **kw):
                 tokens, conf, _ = beam_translate_cached(
                     model, variables, x, mask, beam_width=beam_width,

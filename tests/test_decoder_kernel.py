@@ -97,3 +97,54 @@ def test_fused_decode_from_memory_contract():
     got = fused_greedy_decode(model, variables, memory, mask, max_len=12,
                               interpret=True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+# --- whole-loop fused beam search -----------------------------------------
+
+from ishara_tpu.decode.autoregressive import beam_translate_cached  # noqa: E402
+from ishara_tpu.ops.decoder_kernel import fused_beam_translate  # noqa: E402
+
+
+@pytest.mark.parametrize("width,penalty", [(4, 0.0), (3, 0.6), (1, 0.0)])
+def test_fused_beam_matches_cached(width, penalty):
+    model, variables, x, mask = _build(seed=5)
+    t_ref, c_ref, s_ref = jax.jit(
+        lambda v, x, m: beam_translate_cached(
+            model, v, x, m, max_len=16, beam_width=width,
+            length_penalty=penalty)
+    )(variables, x, mask)
+    t_got, c_got, s_got = jax.jit(
+        lambda v, x, m: fused_beam_translate(
+            model, v, x, m, max_len=16, beam_width=width,
+            length_penalty=penalty, interpret=True)
+    )(variables, x, mask)
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_got))
+    np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_got),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c_ref), np.asarray(c_got),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_beam_width1_equals_fused_greedy():
+    model, variables, x, mask = _build(seed=9)
+    t_beam, _, _ = fused_beam_translate(
+        model, variables, x, mask, max_len=12, beam_width=1, interpret=True)
+    t_greedy, _ = fused_greedy_translate(
+        model, variables, x, mask, max_len=12, interpret=True)
+    np.testing.assert_array_equal(np.asarray(t_beam), np.asarray(t_greedy))
+
+
+def test_fused_beam_eos_stops_all():
+    """Classifier biased to eos: every beam finishes at step 1; outputs are
+    sos, eos, pads on the best beam."""
+    model, variables, x, mask = _build(seed=3)
+    variables = jax.tree_util.tree_map(lambda a: a, variables)
+    bias = np.zeros_like(
+        np.asarray(variables["params"]["classifier"]["bias"]))
+    bias[2] = 100.0
+    variables["params"]["classifier"]["bias"] = jnp.asarray(bias)
+    got, _, _ = fused_beam_translate(
+        model, variables, x, mask, max_len=10, beam_width=4, interpret=True)
+    got = np.asarray(got)[0]
+    assert got[0] == 1 and got[1] == 2
+    np.testing.assert_array_equal(got[2:], np.zeros(8, np.int32))

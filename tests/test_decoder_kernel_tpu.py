@@ -45,3 +45,28 @@ def test_fused_decode_on_chip_flagship_geometry():
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
     np.testing.assert_allclose(np.asarray(c_ref), np.asarray(c_got),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_beam_on_chip_flagship_geometry():
+    from ishara_tpu.decode.autoregressive import beam_translate_cached
+    from ishara_tpu.ops.decoder_kernel import fused_beam_translate
+
+    model = ASLTranslationModel(dropout=0.0)
+    T = 176
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (1, T, 92, 3)).astype(np.float32))
+    mask = jnp.ones((1, T), bool).at[0, 150:].set(False)
+    variables = model.init(jax.random.key(1), x, mask,
+                           jnp.zeros((1, 4), jnp.int32))
+
+    ref, c_ref, s_ref = jax.jit(
+        lambda v, x, m: beam_translate_cached(
+            model, v, x, m, max_len=64, beam_width=4)
+    )(variables, x, mask)
+    got, c_got, s_got = jax.jit(
+        lambda v, x, m: fused_beam_translate(
+            model, v, x, m, max_len=64, beam_width=4, interpret=False)
+    )(variables, x, mask)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_got),
+                               rtol=1e-3, atol=1e-3)

@@ -182,5 +182,12 @@ def test_translation_engine_fused_matches_xla():
     t_fused, c_fused = fused(raw)
     np.testing.assert_array_equal(t_ref, t_fused)
     np.testing.assert_allclose(c_ref, c_fused, rtol=1e-4, atol=1e-4)
-    with pytest.raises(ValueError):
-        TranslationEngine(model, variables, fused=True, decode="beam", **kw)
+
+    bref = TranslationEngine(model, variables, decode="beam", beam_width=3,
+                             **kw)
+    bfused = TranslationEngine(model, variables, decode="beam", beam_width=3,
+                               fused=True, **kw)
+    tb_ref, cb_ref = bref(raw)
+    tb_fused, cb_fused = bfused(raw)
+    np.testing.assert_array_equal(tb_ref, tb_fused)
+    np.testing.assert_allclose(cb_ref, cb_fused, rtol=1e-4, atol=1e-4)
