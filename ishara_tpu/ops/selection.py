@@ -29,19 +29,52 @@ import math
 
 # Measured winners per (dim, T) anchor — v5e, bf16, batch from the probe
 # geometry set {(256,176,B256), (512,512,B128), (768,512,B128),
-# (512,1024,B64)}. "UNMEASURED" rows fall back to the flagship anchor via
-# nearest-lookup until probe_geometry.py has been run at that geometry;
-# RESULTS.md carries the raw table.
+# (512,1024,B64)}, run by scripts/probe_geometry.py round 4; RESULTS.md
+# "Geometry sweep" carries the raw ms table including the compile-failure
+# modes (scoped-VMEM OOM) that force several False/einsum entries.
 _ANCHORS: dict[tuple[int, int], dict] = {
     # flagship (rounds 2-4): flash wins training fwd+bwd with AND without
     # dropout (102.6->80.6 ms/step with, 66.2->60.9 without); einsum wins
-    # eval by ~3x at T=176; FusedFFN beats XLA only when dropout is active;
-    # fused conv-module measured 66% slower (round-4 negative).
+    # eval by ~3x at T=176; FusedFFN beats XLA only when dropout is active
+    # (0.322 vs 0.568 ms); fused conv-module measured 66% slower.
     (256, 176): {
         "train_attn": "flash",
         "train_attn_nodrop": "flash",
         "serve_attn": "einsum",
         "ffn_dropout_kernel": True,
+        "conv_module_fused": False,
+    },
+    # dim=512 T=512 B=128: single-block flash no longer compiles (scoped
+    # VMEM 16.04M > 16M); einsum 8.1 ms beats blocked-flash 13.4 even
+    # without dropout. FusedFFN keeps winning (2.28 vs 2.87 ms). The fused
+    # conv-module kernel fails to compile (bwd scoped VMEM).
+    (512, 512): {
+        "train_attn": "einsum",
+        "train_attn_nodrop": "einsum",
+        "serve_attn": "einsum",
+        "ffn_dropout_kernel": True,
+        "conv_module_fused": False,
+    },
+    # dim=512 T=1024 B=64: same regime at double context — einsum 16.3 ms
+    # (dropout) / 8.2 (none) vs blocked-flash 24.8; serve einsum 0.034 vs
+    # 0.209; FusedFFN 2.50 vs 2.83.
+    (512, 1024): {
+        "train_attn": "einsum",
+        "train_attn_nodrop": "einsum",
+        "serve_attn": "einsum",
+        "ffn_dropout_kernel": True,
+        "conv_module_fused": False,
+    },
+    # dim=768 T=512 B=128: train-attention timings hit the compile tunnel's
+    # request-size limit, but flash already VMEM-OOMs at dim=512 so einsum
+    # is the only compilable path; serve einsum 0.005 vs blocked 0.092.
+    # FusedFFN's backward OOMs scoped VMEM at m=1536 (the f32 dw1/dw2
+    # accumulator blocks alone are 9 MB) -> XLA composition.
+    (768, 512): {
+        "train_attn": "einsum",
+        "train_attn_nodrop": "einsum",
+        "serve_attn": "einsum",
+        "ffn_dropout_kernel": False,
         "conv_module_fused": False,
     },
 }

@@ -69,21 +69,26 @@ def main():
 
     def bwd_ms(label, loss_fn, *args, lo=8, hi=40):
         """fwd+bwd slope of sum-loss wrt args[0] (+ carry chained into the
-        input so nothing hoists)."""
+        input so nothing hoists). ``args`` are passed as COMPILED-FUNCTION
+        ARGUMENTS, not closure constants — zero-arg jit inlines every
+        captured array into the HLO, and at dim>=768 the 200+ MB constant
+        blobs exceed the compile tunnel's request-size limit (HTTP 413)."""
         try:
             grad = jax.grad(
                 lambda x0, rest: loss_fn(x0, rest), argnums=0)
 
             def make(K):
-                def body(c, _):
-                    g = grad(args[0] + c.astype(args[0].dtype), args[1:])
-                    return jnp.sum(g.astype(jnp.float32)) * 1e-20, None
+                def run(arrs):
+                    def body(c, _):
+                        g = grad(arrs[0] + c.astype(arrs[0].dtype),
+                                 arrs[1:])
+                        return jnp.sum(g.astype(jnp.float32)) * 1e-20, None
 
-                compiled = jax.jit(
-                    lambda: jax.lax.scan(body, jnp.float32(0), None,
-                                         length=K)[0]
-                ).lower().compile()
-                return lambda: float(compiled())
+                    return jax.lax.scan(body, jnp.float32(0), None,
+                                        length=K)[0]
+
+                compiled = jax.jit(run).lower(args).compile()
+                return lambda: float(compiled(args))
 
             ms = slope(make, lo, hi, n=3) * 1e3
             log(f"  {label}: {ms:.3f} ms")
@@ -95,15 +100,17 @@ def main():
     def fwd_ms(label, fn, *args, lo=64, hi=512):
         try:
             def make(K):
-                def body(c, _):
-                    out = fn(args[0] + c.astype(args[0].dtype), *args[1:])
-                    return jnp.sum(out.astype(jnp.float32)) * 1e-20, None
+                def run(arrs):
+                    def body(c, _):
+                        out = fn(arrs[0] + c.astype(arrs[0].dtype),
+                                 *arrs[1:])
+                        return jnp.sum(out.astype(jnp.float32)) * 1e-20, None
 
-                compiled = jax.jit(
-                    lambda: jax.lax.scan(body, jnp.float32(0), None,
-                                         length=K)[0]
-                ).lower().compile()
-                return lambda: float(compiled())
+                    return jax.lax.scan(body, jnp.float32(0), None,
+                                        length=K)[0]
+
+                compiled = jax.jit(run).lower(args).compile()
+                return lambda: float(compiled(args))
 
             ms = slope(make, lo, hi, n=3) * 1e3
             log(f"  {label}: {ms:.3f} ms")
@@ -186,19 +193,20 @@ def main():
 
         bwd_ms("C FusedFFN kernel (dropout .1/.1)",
                lambda x0, rest: jnp.sum(ffn_residual(
-                   x0, res, w1, b1, w2, b2, seeds, 0.1, 0.1, False)
+                   x0, rest[0], w1, b1, w2, b2, seeds, 0.1, 0.1, False)
                    .astype(jnp.float32)),
-               x)
+               x, res)
 
-        def xla_ffn(x0):
+        def xla_ffn(x0, res0):
             h = jax.nn.swish(x0 @ w1 + b1.astype(cd))
             h = fast_dropout(h, key, 0.1)
             h = (h @ w2 + b2.astype(cd))
-            return res + fast_dropout(h, jax.random.fold_in(key, 1), 0.1)
+            return res0 + fast_dropout(h, jax.random.fold_in(key, 1), 0.1)
 
         bwd_ms("C XLA FFN composition (dropout .1/.1)",
-               lambda x0, rest: jnp.sum(xla_ffn(x0).astype(jnp.float32)),
-               x)
+               lambda x0, rest: jnp.sum(
+                   xla_ffn(x0, rest[0]).astype(jnp.float32)),
+               x, res)
 
         # ---- D. conv-module branch fwd+bwd (kernel vs XLA)
         Kw = 15

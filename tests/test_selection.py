@@ -53,6 +53,25 @@ def test_api_domains():
         assert isinstance(selection.conv_module_fused(dim, T), bool)
 
 
+def test_large_geometry_rows_match_measured_results():
+    # RESULTS.md round-4 "Geometry sweep": single-block flash stops
+    # compiling at dim>=512/T>=512 and einsum beats blocked-flash at every
+    # large geometry; FusedFFN keeps winning until its backward OOMs at
+    # dim=768 (m=1536); the conv-module kernel never wins.
+    for dim, T in [(512, 512), (512, 1024)]:
+        assert selection.train_attention(dim, T, True) == "einsum"
+        assert selection.train_attention(dim, T, False) == "einsum"
+        assert selection.serve_attention(dim, T) == "einsum"
+        assert selection.ffn_fused_when_dropout(dim, T) is True
+        assert selection.conv_module_fused(dim, T) is False
+    assert selection.ffn_fused_when_dropout(768, 512) is False
+    assert selection.train_attention(768, 512, True) == "einsum"
+    # nearest-lookup extrapolation: a huge geometry lands on a large
+    # (einsum / no-conv-fusion) anchor, never the flagship flash row
+    assert selection.train_attention(2048, 4096, True) == "einsum"
+    assert selection.conv_module_fused(2048, 4096) is False
+
+
 def test_flagship_row_matches_measured_results():
     # RESULTS.md round-3/4: flash wins training fwd+bwd at the flagship,
     # einsum wins eval, FusedFFN fuses when dropout active, conv-module
