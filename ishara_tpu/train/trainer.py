@@ -187,8 +187,15 @@ class Trainer:
         self.best_score = -np.inf
         self.history: list[dict] = []
         # resume bookkeeping: epochs fully completed so far (train() starts
-        # from here; restored by resume() from checkpoint metadata)
+        # from here; restored by resume() from checkpoint metadata), plus
+        # batches consumed inside the in-flight epoch (so a SIGTERM
+        # checkpoint resumes mid-epoch without double-training the batches
+        # before the interrupt — each epoch's schedule is a pure function of
+        # (seed, epoch) and step-keyed rngs ride state.step, so skipping is
+        # bit-exact)
         self.completed_epochs = 0
+        self._epoch_batches_done = 0
+        self._resume_skip = 0
 
     # ------------------------------------------------------------------
     def _device_batch(self, batch: dict) -> dict:
@@ -217,18 +224,24 @@ class Trainer:
         return [(b, self.max_raw_frames) for b in batched]
 
     # ------------------------------------------------------------------
-    def train_epoch(self, epoch: int, rng) -> float:
+    def train_epoch(self, epoch: int, rng, start_batch: int = 0) -> float:
+        """One epoch; ``start_batch`` skips the first N batches of the
+        deterministic (seed, epoch) schedule — the mid-epoch resume path
+        (batch bi runs at the same state.step as in an uninterrupted run,
+        so step-keyed aug/dropout randomness is identical)."""
         from ..utils.prefetch import prefetch
 
         tput = Throughput()
         losses = []
+        schedule = self._epoch_indices(epoch)[start_batch:]
         batches = prefetch(
             (self.train_data.batch(idx, self.tokenizer, max_frames=cap)
-             for idx, cap in self._epoch_indices(epoch)),
+             for idx, cap in schedule),
             depth=2,
         )
         every = self.cfg.train.histogram_every_steps
-        for bi, batch in enumerate(batches):
+        self._epoch_batches_done = start_batch
+        for bi, batch in enumerate(batches, start=start_batch):
             if self._hist_step is not None and every > 0 and bi % every == 0:
                 # instrumented step: same update, grads also returned —
                 # per-layer grad/param histograms (wandb.watch parity,
@@ -245,6 +258,7 @@ class Trainer:
                 self.state, metrics = self._train_step(
                     self.state, self._device_batch(batch), rng
                 )
+            self._epoch_batches_done = bi + 1
             if bi % 10 == 0:
                 loss = float(metrics["loss"])
                 # non-finite batches are skipped inside the jitted step
@@ -342,8 +356,12 @@ class Trainer:
             last_improve_epoch = self.completed_epochs - 1
             for epoch in range(self.completed_epochs, num_epochs):
                 t0 = time.time()
-                train_loss = self.train_epoch(epoch, rng)
+                start_batch = self._resume_skip  # mid-epoch resume offset
+                self._resume_skip = 0            # (first epoch only)
+                train_loss = self.train_epoch(epoch, rng,
+                                              start_batch=start_batch)
                 self.completed_epochs = epoch + 1
+                self._epoch_batches_done = 0
                 rec = {"epoch": epoch, "train_loss": train_loss,
                        "epoch_time_s": round(time.time() - t0, 1),
                        # exact on-device skip count (cumulative)
@@ -389,6 +407,7 @@ class Trainer:
 
     def _resume_meta(self) -> dict:
         return {"completed_epochs": self.completed_epochs,
+                "epoch_batches_done": int(self._epoch_batches_done),
                 "best_score": (float(self.best_score)
                                if np.isfinite(self.best_score) else None)}
 
@@ -404,19 +423,18 @@ class Trainer:
 
     def resume(self) -> bool:
         """Restore the latest checkpoint if one exists — params/opt-state/
-        step AND the training-loop bookkeeping (completed epoch count, best
-        validation score), so ``train()`` continues where the interrupted
-        run stopped instead of replaying epoch 0 (the reference writes
-        checkpoints but never reads them back, integration.py:906-958).
+        step AND the training-loop bookkeeping (completed epoch count,
+        batches consumed in the in-flight epoch, best validation score), so
+        ``train()`` continues where the interrupted run stopped instead of
+        replaying epoch 0 (the reference writes checkpoints but never reads
+        them back, integration.py:906-958).
 
-        Granularity is per-epoch: a SIGTERM checkpoint written mid-epoch
-        restores the mid-epoch params but the interrupted epoch replays from
-        its start, so batches consumed before the interrupt are trained a
-        second time. This double exposure is a deliberate trade-off — exact
-        within-epoch skip lists would pin the data order across restarts for
-        marginal benefit; epoch-boundary checkpoints (the default cadence)
-        are unaffected (tests/test_resume.py proves bit-identical
-        continuation there)."""
+        Granularity is per-BATCH: a SIGTERM checkpoint written mid-epoch
+        carries ``epoch_batches_done``; the continuation skips exactly that
+        many batches of the interrupted epoch's deterministic schedule, so
+        no batch is trained twice and the concatenated run is bit-identical
+        to an uninterrupted one (tests/test_resume.py, both the
+        epoch-boundary and the mid-epoch case)."""
         step = self.ckpt.latest_step()
         if step is None:
             return False
@@ -424,6 +442,7 @@ class Trainer:
         meta = self.ckpt.step_meta(step)
         if "completed_epochs" in meta:
             self.completed_epochs = int(meta["completed_epochs"])
+        self._resume_skip = int(meta.get("epoch_batches_done", 0))
         if meta.get("best_score") is not None:
             self.best_score = float(meta["best_score"])
         return True

@@ -78,6 +78,63 @@ def test_interrupted_plus_resumed_equals_uninterrupted(tmp_path):
     assert v_res == v_full
 
 
+class _PreemptedData:
+    """Wraps a dataset; .batch() raises after ``fail_after`` calls —
+    simulates a preemption mid-epoch (the SIGTERM path's finally-save runs
+    identically for any exception escaping the epoch loop)."""
+
+    def __init__(self, inner, fail_after):
+        self._inner = inner
+        self._fail = fail_after
+        self._n = 0
+
+    def __len__(self):
+        return len(self._inner)
+
+    def batch(self, idx, tok, max_frames=None):
+        if self._n >= self._fail:
+            raise RuntimeError("simulated preemption")
+        self._n += 1
+        return self._inner.batch(idx, tok, max_frames=max_frames)
+
+
+def test_mid_epoch_resume_is_bit_identical(tmp_path):
+    """A crash mid-epoch must resume at the exact interrupted batch: no
+    batch trained twice, final params/step bit-identical to an
+    uninterrupted run (resume() reads ``epoch_batches_done`` and train()
+    skips that prefix of the deterministic (seed, epoch) schedule)."""
+    import jax
+    import pytest
+
+    tok, train_ds, val_ds = _data()
+
+    t_full = Trainer(_cfg(), train_ds, val_ds, tok,
+                     workdir=tmp_path / "full", max_raw_frames=64)
+    t_full.train(num_epochs=3)
+
+    # 16 seqs / batch 8 = 2 batches per epoch; fail on the 4th batch load
+    # -> the crash lands inside epoch 1
+    t_a = Trainer(_cfg(), _PreemptedData(train_ds, 3), val_ds, tok,
+                  workdir=tmp_path / "mid", max_raw_frames=64)
+    with pytest.raises(RuntimeError, match="simulated preemption"):
+        t_a.train(num_epochs=3)
+    assert t_a.completed_epochs == 1          # epoch 1 was in flight
+    consumed = t_a._epoch_batches_done
+    assert 0 < consumed < 2                   # genuinely mid-epoch
+
+    t_b = Trainer(_cfg(), train_ds, val_ds, tok,
+                  workdir=tmp_path / "mid", max_raw_frames=64)
+    assert t_b.resume()
+    assert t_b._resume_skip == consumed
+    t_b.train(num_epochs=3)
+
+    assert int(t_b.state.step) == int(t_full.state.step)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        t_b.state.params, t_full.state.params)
+
+
 def test_resume_does_not_regress_best_checkpoint(tmp_path):
     """A post-resume val score below the restored best must NOT overwrite
     the best chain (round-2 bug: best_score re-initialized to -inf)."""
