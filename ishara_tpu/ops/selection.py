@@ -80,6 +80,32 @@ _ANCHORS: dict[tuple[int, int], dict] = {
 }
 
 
+# Translation-family whole-loop decode kernel (ops/decoder_kernel.py)
+# anchors, measured on v5e round 4 (RESULTS.md "Whole-loop fused ... kernel"
+# sections) at the flagship translation geometry dim=208, L=2, T=176:
+# fused greedy 0.337 vs 1.56 ms XLA (4.6x), fused beam W=4 0.558 vs 4.43 ms
+# (7.9x). The kernel's applicability limit is VMEM, enforced separately by
+# ``ops.decoder_kernel.fused_decode_fits`` (closed-form need vs budget) —
+# a geometry that exceeds the budget falls back to the XLA while_loop no
+# matter what this table says.
+_DECODE_ANCHORS: dict[tuple[int, int], dict] = {
+    (208, 176): {"decode_fused": True},
+}
+
+
+def translation_decode_fused(dim: int, T: int) -> bool:
+    """Measured winner for the batch-1 translation decode loop at this
+    geometry (nearest anchor). Callers must ALSO check
+    ``ops.decoder_kernel.fused_decode_fits`` — VMEM, not speed, is the
+    kernel's hard limit."""
+    best, bestd = None, math.inf
+    for (ad, at), row in _DECODE_ANCHORS.items():
+        d = (math.log(dim / ad)) ** 2 + (math.log(T / at)) ** 2
+        if d < bestd:
+            best, bestd = row, d
+    return best["decode_fused"]
+
+
 def _nearest(dim: int, T: int) -> dict:
     best, bestd = None, math.inf
     for (ad, at), row in _ANCHORS.items():

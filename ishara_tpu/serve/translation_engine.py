@@ -48,11 +48,23 @@ class TranslationEngine:
         decode loop (greedy or beam) as one Pallas kernel
         (ops/decoder_kernel.py): VMEM-resident decoder weights across all
         steps, caches in scratch — the translation counterpart of
-        ``InferenceEngine(fused=...)``."""
+        ``InferenceEngine(fused=...)``. ``fused="auto"`` consults the
+        measured selection table (ops/selection.py) AND the kernel's VMEM
+        budget; an explicit ``fused=True`` at a geometry over the budget
+        also degrades gracefully (the kernel wrappers fall back to the XLA
+        while_loop with a one-line log instead of a Mosaic compile error)."""
         if decode not in ("greedy", "beam"):
             raise ValueError(f"decode must be 'greedy' or 'beam', got {decode!r}")
         if decode == "beam" and not kv_cache:
             raise ValueError("beam decode requires kv_cache=True")
+        if fused == "auto":
+            from ..ops.decoder_kernel import fused_decode_fits
+            from ..ops.selection import translation_decode_fused
+
+            fused = (translation_decode_fused(model.feature_dim, frame_len)
+                     and fused_decode_fits(
+                         model, frame_len, max_out,
+                         beam_width if decode == "beam" else 1))
         self.variables = variables
         self.max_raw_frames = max_raw_frames
         self.max_out = max_out

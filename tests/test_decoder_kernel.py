@@ -148,3 +148,99 @@ def test_fused_beam_eos_stops_all():
     got = np.asarray(got)[0]
     assert got[0] == 1 and got[1] == 2
     np.testing.assert_array_equal(got[2:], np.zeros(8, np.int32))
+
+
+# ---------------------------------------------------------------------------
+# VMEM-budget guard (VERDICT r4 #3): geometries whose kernel VMEM need
+# exceeds the budget must degrade to the XLA while_loop path — with token
+# parity — instead of dying in a Mosaic scoped-VMEM compile error.
+# ---------------------------------------------------------------------------
+
+from ishara_tpu.decode.autoregressive import beam_translate_cached  # noqa: E402
+from ishara_tpu.ops.decoder_kernel import (  # noqa: E402
+    DecoderVmemError,
+    fused_beam_translate,
+    fused_decode_fits,
+    fused_decode_vmem_bytes,
+)
+
+
+def test_vmem_bytes_formula_scales():
+    # flagship translation geometry: low single-digit MiB, fits the budget
+    flagship = fused_decode_vmem_bytes(208, 8, 2, 62, 176, 64)
+    assert 2 * 2**20 < flagship < 16 * 2**20
+    # beam multiplies the cache banks, not the weights
+    beam = fused_decode_vmem_bytes(208, 8, 2, 62, 176, 64, W=4)
+    assert flagship < beam < 4 * flagship
+    # a big decoder blows past any plausible budget (dim=1024, L=6, T=2048)
+    big = fused_decode_vmem_bytes(1024, 16, 6, 62, 2048, 512, W=8)
+    assert big > 512 * 2**20
+
+
+def test_fused_decode_raises_over_budget(monkeypatch):
+    monkeypatch.setenv("ISHARA_DECODE_VMEM_BUDGET", str(64 * 2**10))
+    model, variables, x, mask = _build()
+    memory, _ = model.apply(variables, x, mask, training=False,
+                            method=model.encode)
+    with pytest.raises(DecoderVmemError):
+        fused_greedy_decode(model, variables, memory, mask, max_len=16,
+                            interpret=True)
+
+
+def test_guard_fallback_greedy_token_parity(monkeypatch, caplog):
+    import logging
+
+    monkeypatch.setenv("ISHARA_DECODE_VMEM_BUDGET", str(64 * 2**10))
+    model, variables, x, mask = _build()
+    assert not fused_decode_fits(model, x.shape[1], 16)
+    with caplog.at_level(logging.WARNING,
+                         logger="ishara_tpu.ops.decoder_kernel"):
+        got, c_got = fused_greedy_translate(model, variables, x, mask,
+                                            max_len=16, interpret=True)
+    assert any("falling back" in r.message for r in caplog.records)
+    ref, c_ref = greedy_translate_cached(model, variables, x, mask,
+                                         max_len=16)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    np.testing.assert_allclose(np.asarray(c_ref), np.asarray(c_got),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_guard_fallback_beam_token_parity(monkeypatch, caplog):
+    import logging
+
+    monkeypatch.setenv("ISHARA_DECODE_VMEM_BUDGET", str(64 * 2**10))
+    model, variables, x, mask = _build()
+    with caplog.at_level(logging.WARNING,
+                         logger="ishara_tpu.ops.decoder_kernel"):
+        got, c_got, s_got = fused_beam_translate(
+            model, variables, x, mask, max_len=16, beam_width=3,
+            length_penalty=0.5, interpret=True)
+    assert any("falling back" in r.message for r in caplog.records)
+    ref, c_ref, s_ref = beam_translate_cached(
+        model, variables, x, mask, max_len=16, beam_width=3,
+        length_penalty=0.5)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_got),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_engine_fused_auto(monkeypatch):
+    from ishara_tpu.ops.selection import translation_decode_fused
+    from ishara_tpu.serve.translation_engine import TranslationEngine
+
+    # the measured anchor says fused wins at the flagship geometry
+    assert translation_decode_fused(208, 176)
+    model, variables, x, mask = _build()
+    # tiny geometry fits the budget -> auto resolves to the fused kernel;
+    # the engine compiles and serves (interpret mode rides _on_tpu=False)
+    eng = TranslationEngine(model, variables, frame_len=x.shape[1],
+                            max_raw_frames=32, max_out=16, fused="auto")
+    raw = np.zeros((20, 276), np.float32)
+    toks, conf = eng(raw)
+    assert toks.shape == (16,)
+    # with a tiny budget, auto degrades to the XLA path (still serves)
+    monkeypatch.setenv("ISHARA_DECODE_VMEM_BUDGET", str(64 * 2**10))
+    eng2 = TranslationEngine(model, variables, frame_len=x.shape[1],
+                             max_raw_frames=32, max_out=16, fused="auto")
+    toks2, _ = eng2(raw)
+    assert toks2.shape == (16,)
