@@ -355,6 +355,61 @@ def main():
     except Exception as e:  # pragma: no cover
         log("translation serving failed:", repr(e))
 
+    # --- streaming/realtime path: on-chip per-chunk cost of the causal
+    # StreamingEncoder (the reference's realtime webcam loop,
+    # inference tests/real_time_tracking.py:57-92, runs TFLite per frame;
+    # this is the only serving path bench.py didn't record before r5).
+    # The scan chains StreamState through K chunks, so the measured slope
+    # is the true per-chunk device cost (K*chunk_size <= max_positions). ---
+    try:
+        from ishara_tpu.serve.streaming import StreamingEncoder
+
+        scfg = dataclasses.replace(baseline_config(5).model, causal=True,
+                                   attn_context=176, dominant_hand=False)
+        smodel = IsharaEncoder(scfg)
+        svars = smodel.init(jax.random.key(4),
+                            np.zeros((1, scfg.frame_len, scfg.input_dim),
+                                     np.float32))
+        CH = 8
+        seng = StreamingEncoder(scfg, svars, chunk_size=CH,
+                                max_positions=2048)
+        chunks = jnp.asarray(bufs[:4, :64].reshape(-1, CH, 276))  # 32 chunks
+        NC = chunks.shape[0]
+        state0 = seng.init_state()
+
+        def make(K):
+            def body(carry, i):
+                state, acc = carry
+                chunk = chunks[i % NC] + acc * 1e-12
+                state, ids, n, _ = seng._step_impl(state, chunk)
+                return (state, acc + n.astype(jnp.float32)), None
+
+            return jax.jit(lambda s: jax.lax.scan(
+                body, (s, jnp.float32(0)), jnp.arange(K))[0][1]
+            ).lower(state0).compile()
+
+        t0 = time.perf_counter()
+        c_lo, c_hi = make(16), make(240)
+        log(f"compile(streaming): {time.perf_counter() - t0:.1f}s")
+        float(c_lo(state0)), float(c_hi(state0))
+        diffs = []
+        for _ in range(5):
+            t0 = time.perf_counter(); float(c_lo(state0))
+            t1 = time.perf_counter(); float(c_hi(state0))
+            t2 = time.perf_counter()
+            diffs.append((t2 - t1) - (t1 - t0))
+        sms = float(np.median(diffs)) / (240 - 16) * 1e3
+        if sms > 0:
+            extra["streaming_ms_per_chunk"] = round(sms, 4)
+            extra["streaming_chunk_size"] = CH
+            log(f"on-chip streaming per-chunk ({CH} frames): {sms:.4f} ms "
+                f"({sms / CH * 1e3:.0f} us/frame)")
+        else:
+            extra["streaming_ms_per_chunk"] = None
+            log("streaming: unmeasurable (non-positive slope)")
+    except Exception as e:  # pragma: no cover
+        log("streaming bench failed:", repr(e))
+
     # --- secondary: host->host including the tunnel ---
     if first_engine is not None:
         for s in range(4):

@@ -41,6 +41,12 @@ def main():
                     help="hard phrases run long (up to ~40 chars x ~10 "
                          "frames); 384 keeps truncation <1%%")
     ap.add_argument("--val-sequences", type=int, default=512)
+    ap.add_argument("--causal", action="store_true",
+                    help="train the causal/streaming flagship "
+                         "(attn_context-bounded causal attention, causal "
+                         "convs, running SE gate) — the StreamingEncoder-"
+                         "servable variant; VERDICT r4 #6")
+    ap.add_argument("--attn-context", type=int, default=176)
     args = ap.parse_args()
 
     import jax
@@ -59,6 +65,9 @@ def main():
 
     cfg = baseline_config(4)           # hybrid 4+4 dim=256 — the 0.728 family
     cfg.model.dropout = args.dropout
+    if args.causal:
+        cfg.model.causal = True
+        cfg.model.attn_context = args.attn_context
     cfg.train.num_epochs = args.epochs
     cfg.train.batch_size = args.batch_size
     cfg.train.warmup_epochs = max(1, args.epochs // 10)
@@ -81,17 +90,31 @@ def main():
     print("final:", json.dumps(history[-1]), flush=True)
     print(f"train wall: {time.time() - t0:.0f}s", flush=True)
 
-    bundle = Path(args.workdir) / "bundle"
-    export_model(bundle, cfg,
-                 {"params": trainer.state.params,
-                  "batch_stats": trainer.state.batch_stats},
-                 stats=trainer.stats, half_precision=False)
-    engine = load_engine(bundle, max_raw_frames=args.max_raw_frames)
-    result = run_harness(engine, val_ds, tok,
-                         num_sequences=args.val_sequences)
-    print("harness:", json.dumps(result.as_dict()), flush=True)
-    for p, t in result.examples[:8]:
-        print(f"  pred={p!r} target={t!r}")
+    # Export the trained model at all three deployment precisions and score
+    # each through the serving harness (VERDICT r4 missing #3: the int8
+    # "lossless" claim was only ever measured on the saturated easy corpus;
+    # the hard corpus is where a quantization gap could actually show).
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    scores = {}
+    for name, kw in (("f32", dict(half_precision=False)),
+                     ("bf16", dict(half_precision=True)),
+                     ("int8", dict(quantize_int8=True))):
+        bundle = Path(args.workdir) / ("bundle" if name == "f32"
+                                       else f"bundle_{name}")
+        export_model(bundle, cfg, variables, stats=trainer.stats, **kw)
+        engine = load_engine(bundle, max_raw_frames=args.max_raw_frames)
+        result = run_harness(engine, val_ds, tok,
+                             num_sequences=args.val_sequences)
+        scores[name] = result.score
+        print(f"harness[{name}]:", json.dumps(result.as_dict()), flush=True)
+        if name == "f32":
+            for p, t in result.examples[:8]:
+                print(f"  pred={p!r} target={t!r}")
+    gap = scores["f32"] - scores["int8"]
+    print(f"int8 gap vs f32: {gap:+.4f}"
+          + (" (>=0.005 — run the QAT variant)" if gap >= 0.005 else ""),
+          flush=True)
 
 
 if __name__ == "__main__":
