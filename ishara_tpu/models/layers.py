@@ -213,7 +213,8 @@ class MultiHeadSelfAttention(nn.Module):
 
         if not deterministic and _on_tpu():
             path = selection.train_attention(self.dim, T,
-                                             dropout_active=rate > 0.0)
+                                             dropout_active=rate > 0.0,
+                                             batch=B)
         else:
             path = selection.serve_attention(self.dim, T) if _on_tpu() \
                 else "einsum"
@@ -360,7 +361,8 @@ class FusedFFN(nn.Module):
 
         dropping = self.dropout > 0.0 or self.res_rate > 0.0
         if (not deterministic and dropping and _on_tpu()
-                and selection.ffn_fused_when_dropout(self.dim, x.shape[1])
+                and selection.ffn_fused_when_dropout(self.dim, x.shape[1],
+                                                     batch=x.shape[0])
                 and not self.is_initializing()):
             p0 = self.get_variable("params", "fc1")
             p1 = self.get_variable("params", "fc2")
@@ -410,7 +412,8 @@ class SqueezeformerConvModule(nn.Module):
         from ..ops.attention import _on_tpu
         from ..ops.conv_kernel import conv_module_residual
 
-        fused = (selection.conv_module_fused(self.dim, x.shape[1])
+        fused = (selection.conv_module_fused(self.dim, x.shape[1],
+                                             batch=x.shape[0])
                  if self.fused is None else self.fused)
         if (fused and training and _on_tpu() and not self.causal_se
                 and not self.is_initializing()):

@@ -39,16 +39,19 @@ def main():
         fused_greedy_decode,
     )
 
-    # (dim, L, T, S, W) — W=1 means greedy
+    # (dim, L, T, S, W) — W=1 means greedy. T caps at 384: the seq2seq
+    # encoder's RoPE buffer is max_seq_len=384 (reference parity,
+    # integration.py:55-69), so bigger memories are unreachable anyway —
+    # VMEM pressure is driven through dim/L/S/W instead.
     ladder = [
         (208, 2, 176, 64, 1),
         (208, 2, 176, 64, 4),
-        (512, 2, 512, 64, 1),
-        (512, 4, 512, 64, 4),
-        (512, 4, 512, 128, 8),
-        (768, 4, 1024, 128, 4),
-        (1024, 6, 1024, 256, 4),
-        (1024, 6, 2048, 512, 8),
+        (512, 2, 384, 64, 1),
+        (512, 4, 384, 64, 4),
+        (512, 4, 384, 128, 8),
+        (768, 4, 384, 128, 4),
+        (1024, 6, 384, 256, 4),
+        (1024, 8, 384, 512, 8),
     ]
     for dim, L, T, S, W in ladder:
         need = fused_decode_vmem_bytes(dim, 8, L, 62, T, S, W)
