@@ -47,6 +47,9 @@ def main():
                          "convs, running SE gate) — the StreamingEncoder-"
                          "servable variant; VERDICT r4 #6")
     ap.add_argument("--attn-context", type=int, default=176)
+    ap.add_argument("--skip-export", action="store_true",
+                    help="stop after training (difficulty-curve runs only "
+                         "need the val score, not 3 exports + harness)")
     args = ap.parse_args()
 
     import jax
@@ -89,6 +92,8 @@ def main():
     history = trainer.train()
     print("final:", json.dumps(history[-1]), flush=True)
     print(f"train wall: {time.time() - t0:.0f}s", flush=True)
+    if args.skip_export:
+        return
 
     # Export the trained model at all three deployment precisions and score
     # each through the serving harness (VERDICT r4 missing #3: the int8
