@@ -38,6 +38,24 @@ from jax.experimental.pallas import tpu as pltpu
 from .attention import _on_tpu
 
 
+def _row_block(R, C):
+    """Rows per grid step for a flattened [R, C] mask kernel.
+
+    Budget ~2 MB f32 per block buffer, computed against the LANE-PADDED
+    width: Mosaic pads the last dim to 128 lanes, so a [br, C] block
+    occupies br * ceil(C/128)*128 words of VMEM regardless of C. Budgeting
+    by the logical C let narrow tails through — decoder self-attention
+    probs at S=63 picked br=8328, whose padded block (4.26 MB) times
+    double-buffered in/out plus the PRNG-bits intermediate blew the 16 MB
+    scoped-VMEM limit by 272 KB (the translation-family train step died at
+    compile). At every lane-aligned width (256, 512, 1024 — all measured
+    anchors) this law is byte-identical to the old one.
+    """
+    cp = -(-max(C, 1) // 128) * 128
+    br = max(8, min(R, (1 << 19) // cp))
+    return min(R, (br + 7) // 8 * 8)
+
+
 def _kernel(rate, seed_ref, x_ref, o_ref):
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     bits = pltpu.bitcast(pltpu.prng_random_bits(x_ref.shape), jnp.uint32)
@@ -55,9 +73,7 @@ def _apply(x, seed, rate):
     for d in shape[:-1]:
         R *= d
     x2 = x.reshape(R, C)
-    # ~2 MB f32 blocks; sublane multiple of 8, whole array if it fits.
-    br = max(8, min(R, (1 << 19) // max(C, 1)))
-    br = min(R, (br + 7) // 8 * 8)
+    br = _row_block(R, C)
     grid = (R + br - 1) // br
     out = pl.pallas_call(
         functools.partial(_kernel, rate),
@@ -117,8 +133,7 @@ def _apply_add(res, x, seed, rate):
         R *= d
     x2 = x.reshape(R, C)
     r2 = res.reshape(R, C)
-    br = max(8, min(R, (1 << 19) // max(C, 1)))
-    br = min(R, (br + 7) // 8 * 8)
+    br = _row_block(R, C)
     grid = (R + br - 1) // br
     out = pl.pallas_call(
         functools.partial(_add_kernel, rate),

@@ -67,3 +67,25 @@ def test_module_site_still_trains():
     flat = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(v)).all() for v in flat)
     assert any(float(jnp.abs(v).max()) > 0 for v in flat)
+
+
+def test_row_block_respects_padded_vmem_budget():
+    """The block law must budget by the Mosaic lane-PADDED width (ceil to
+    128): the translation decoder's self-attn prob dropout ([B*H*S, S] with
+    S=63) compiled to a 16.27 MB scoped-VMEM stack under the old
+    logical-width law and died on-chip. Aligned widths must be unchanged
+    (they are the measured anchors)."""
+    from ishara_tpu.ops.dropout import _row_block
+
+    for R, C in [(129024, 63), (360448, 176), (131072, 1), (8, 129),
+                 (45056, 256), (45056, 1024), (1000, 200), (7, 63)]:
+        br = _row_block(R, C)
+        cp = -(-C // 128) * 128
+        assert br * cp <= 1 << 19, (R, C, br)
+        assert br >= min(R, 8)
+        assert br <= R or br % 8 == 0
+    # lane-aligned widths: byte-identical to the old ~2MB law
+    assert _row_block(45056, 256) == 2048
+    assert _row_block(45056, 512) == 1024
+    # the failing geometry now fits: padded width 128 -> 4096 rows
+    assert _row_block(129024, 63) == 4096
