@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--val-sequences", type=int, default=512)
     ap.add_argument("--dim", type=int, default=208)
     ap.add_argument("--frame-len", type=int, default=176)
+    ap.add_argument("--resume", action="store_true",
+                    help="restore the latest checkpoint in --workdir and "
+                         "continue (exact mid-epoch resume; Trainer.resume)")
     args = ap.parse_args()
 
     import jax
@@ -90,6 +93,8 @@ def main():
                       workdir=args.workdir,
                       max_raw_frames=args.max_raw_frames,
                       task="translation")
+    if args.resume and trainer.resume():
+        print(f"resumed from step {int(trainer.state.step)}", flush=True)
     history = trainer.train()
     print("final:", json.dumps(history[-1]), flush=True)
     print(f"train wall: {time.time() - t0:.0f}s", flush=True)
