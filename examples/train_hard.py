@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--skip-export", action="store_true",
                     help="stop after training (difficulty-curve runs only "
                          "need the val score, not 3 exports + harness)")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore the latest checkpoint in --workdir and "
+                         "continue (exact mid-epoch resume; trainer.resume)")
     args = ap.parse_args()
 
     import jax
@@ -89,6 +92,8 @@ def main():
     trainer = Trainer(cfg, train_ds, val_ds, tok,
                       workdir=args.workdir,
                       max_raw_frames=args.max_raw_frames)
+    if args.resume and trainer.resume():
+        print(f"resumed from step {trainer.state.step}", flush=True)
     history = trainer.train()
     print("final:", json.dumps(history[-1]), flush=True)
     print(f"train wall: {time.time() - t0:.0f}s", flush=True)
